@@ -1,0 +1,268 @@
+"""Multi-run orchestration: the reference's process-pool layer, TPU-native.
+
+The reference fans n_runs chains over a ``ProcessPoolExecutor`` with pickled
+schedule params and per-run seeds ``base_seed + r`` (``experiments.py:475-573``).
+Here a "run" is one lane of a vmapped chain batch: all runs execute inside a
+single compiled program, optionally sharded over a device mesh, and results
+come back as batched arrays.  Long runs execute as equal-shape jitted
+segments so one executable is reused while the host streams history chunks,
+prints progress, and writes checkpoints between segments (SURVEY §5.1/5.4).
+
+Per-run isolation (SURVEY §5.3): a chain cannot "throw" mid-scan — failure
+modes are batch-wide (compile errors) — so one diverged run can never abort a
+sweep the way a worker exception kills the reference's pool
+(``experiments.py:530-533``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from mcqueens.chain import board as board_chain
+from mcqueens.chain import full3d as full3d_chain
+from mcqueens.chain.spec import ChainSpec
+from mcqueens.core import rng as rng_mod
+from mcqueens.dist import mesh as mesh_mod
+
+# Cap on history points held on device per segment (64M -> 256 MB of int32
+# at 1k chains); segments get smaller as chains/history grow.
+_MAX_SEGMENT_ELEMS = 64 * 1024 * 1024
+
+
+@dataclasses.dataclass
+class ChainResult:
+    """Batched results for R chains (axis 0 = run/chain index).
+
+    energy_history rows are full-length even for early-stopped chains (the
+    frozen value repeats); ``history_len`` gives each chain's reference-
+    equivalent truncated length (the reference stops appending after the
+    patience break, ``experiments.py:349-355``).
+    """
+
+    spec: ChainSpec
+    energy_history: np.ndarray   # (R, P) int32
+    history_steps: np.ndarray    # (P,) int64 step index of each history point
+    history_len: np.ndarray      # (R,) reference-equivalent history length
+    final_energy: np.ndarray     # (R,)
+    final_state: np.ndarray      # (R, N, N) heights or (R, Q, 3) queens
+    best_energy: np.ndarray      # (R,)
+    best_state: np.ndarray       # (R, N, N) or (R, Q, 3)
+    steps_to_best: np.ndarray    # (R,) first history index of the minimum
+    stop_step: np.ndarray        # (R,) early-stop step (n_steps if none)
+    accept_bins: np.ndarray      # (R, n_bins)
+    total_bins: np.ndarray       # (R, n_bins)
+    wall_time: float             # whole-batch wall clock (seconds)
+    run_times: np.ndarray        # (R,) per-run wall clock; the batch is one
+                                 # fused program so this is wall_time for all
+
+    @property
+    def n_runs(self) -> int:
+        return self.energy_history.shape[0]
+
+    @property
+    def proposals(self) -> int:
+        """Total proposed moves across the batch (for throughput reporting)."""
+        return int(self.total_bins.sum())
+
+    @property
+    def moves_per_sec(self) -> float:
+        return self.proposals / max(self.wall_time, 1e-9)
+
+
+def _modules(spec: ChainSpec):
+    return board_chain if spec.mcmc_type == "board" else full3d_chain
+
+
+def run_chains(
+    seeds,
+    spec: ChainSpec,
+    *,
+    mesh=None,
+    verbose: bool = False,
+    min_segments: int = 1,
+    checkpointer=None,
+    profile_dir: Optional[str] = None,
+) -> ChainResult:
+    """Run one independent chain per seed, fused and (optionally) sharded.
+
+    Args:
+        seeds: integer array of per-chain seeds (the reference derivations —
+            ``base_seed + r`` etc. — are applied by the caller; see
+            :func:`run_experiment`).
+        spec: static chain configuration.
+        mesh: optional 1-D device mesh; the chain batch is padded to a
+            multiple of the mesh size and sharded along it.
+        verbose: print segment progress (mean/min energy across runs).
+        min_segments: lower bound on host-visible segments (used for progress
+            cadence and checkpoint granularity).
+        checkpointer: optional :class:`mcqueens.utils.checkpoint.Checkpointer`;
+            saves the carry after every segment and resumes from a saved
+            segment when present.
+        profile_dir: if set, wrap execution in a ``jax.profiler`` trace.
+    """
+    seeds = np.asarray(seeds, dtype=np.uint32)
+    n_runs = seeds.shape[0]
+    n_padded = mesh_mod.pad_chains(n_runs, mesh)
+    if n_padded > n_runs:
+        # Pad with distinct follow-on seeds; padded lanes are discarded.
+        pad = seeds[-1] + 1 + np.arange(n_padded - n_runs, dtype=np.uint32)
+        seeds = np.concatenate([seeds, pad])
+
+    keys = rng_mod.chain_keys_from_seeds(seeds)
+    if mesh is not None:
+        keys = mesh_mod.shard_chains(keys, mesh)
+
+    mod = _modules(spec)
+
+    n_outer = spec.n_outer
+    if verbose:
+        min_segments = max(min_segments, 10)
+    if checkpointer is not None:
+        min_segments = max(min_segments, checkpointer.min_segments)
+    max_outer_per_seg = max(1, _MAX_SEGMENT_ELEMS // max(1, n_padded))
+    n_segs = max(min_segments, -(-n_outer // max_outer_per_seg), 1)
+    n_segs = min(n_segs, n_outer) or 1
+    seg_outer = -(-n_outer // n_segs)
+
+    t0 = time.time()
+    profiler_cm = (
+        jax.profiler.trace(profile_dir) if profile_dir else _nullcontext()
+    )
+    with profiler_cm:
+        carry = mod.init_carry_batch(keys, spec)
+        e0 = np.asarray(carry.energy)
+        history_chunks = []
+        start_seg = 0
+        if checkpointer is not None:
+            resumed = checkpointer.restore(carry)
+            if resumed is not None:
+                carry, start_seg, history_chunks = resumed
+        for seg in range(start_seg, n_segs):
+            carry, ys = mod.run_segment(
+                carry, np.int32(seg * seg_outer), spec, seg_outer
+            )
+            ys = np.asarray(ys)  # (seg_outer, C)
+            history_chunks.append(ys)
+            if verbose:
+                done_steps = min((seg + 1) * seg_outer * spec.history_stride,
+                                 spec.n_steps)
+                e = np.asarray(carry.energy[:n_runs])
+                print(
+                    f"[mcqueens] step {done_steps}/{spec.n_steps}: "
+                    f"mean E={e.mean():.2f} min E={e.min()}"
+                )
+            if checkpointer is not None:
+                checkpointer.save(carry, seg + 1, history_chunks)
+        jax.block_until_ready(carry.energy)
+    wall = time.time() - t0
+
+    hist = np.concatenate(history_chunks, axis=0)[:n_outer]  # (n_outer, C)
+    energy_history = np.concatenate([e0[None, :], hist], axis=0).T  # (C, P)
+    history_steps = np.minimum(
+        np.arange(n_outer + 1, dtype=np.int64) * spec.history_stride, spec.n_steps
+    )
+
+    stop_step = np.asarray(carry.stop_step)
+    # Reference-equivalent truncated history length: a run breaking at step s
+    # appends energies for steps 0..s-1 only (the break precedes the append,
+    # experiments.py:349-355), i.e. ceil(s / stride) points plus the initial.
+    stopped = stop_step < spec.n_steps
+    pts = -(-stop_step // spec.history_stride)
+    history_len = (np.where(stopped, pts, n_outer) + 1).astype(np.int64)
+
+    if spec.mcmc_type == "board":
+        final_state = np.asarray(carry.heights).reshape(-1, spec.N, spec.N)
+        best_state = np.asarray(carry.best_heights).reshape(-1, spec.N, spec.N)
+    else:
+        final_state = np.asarray(carry.queens)
+        best_state = np.asarray(carry.best_queens)
+
+    s = slice(0, n_runs)
+    return ChainResult(
+        spec=spec,
+        energy_history=energy_history[s],
+        history_steps=history_steps,
+        history_len=history_len[s],
+        final_energy=np.asarray(carry.energy)[s],
+        final_state=final_state[s],
+        best_energy=np.asarray(carry.best_energy)[s],
+        best_state=best_state[s],
+        steps_to_best=np.asarray(carry.best_step)[s],
+        stop_step=stop_step[s],
+        accept_bins=np.asarray(carry.accept_bins)[s],
+        total_bins=np.asarray(carry.total_bins)[s],
+        wall_time=wall,
+        run_times=np.full((n_runs,), wall),
+    )
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def run_experiment(
+    N: int,
+    n_steps: int,
+    init_mode: str,
+    schedule,
+    n_runs: int,
+    base_seed: int = 0,
+    *,
+    mcmc_type: str = "board",
+    early_stop_patience=100000,
+    verbose: bool = False,
+    mesh=None,
+    history_stride: int = 1,
+    kernel: str = "tables",
+    n_bins: int = 100,
+    checkpointer=None,
+) -> ChainResult:
+    """Reference-compatible experiment entry point.
+
+    Mirrors ``run_experiment`` (``experiments.py:475-573``): n_runs chains
+    with per-run seeds ``base_seed + r``.  Differences (documented fixes of
+    reference quirks, SURVEY §2.1):
+
+      * ``early_stop_patience`` applies to *board* chains for every n_runs
+        (the reference's sequential n_runs==1 path silently drops it,
+        ``experiments.py:548-558``);
+      * full_3d chains ignore patience — matching the reference sampler,
+        which accepts but never reads the argument (``experiments.py:199``).
+        Pass a ChainSpec directly to :func:`run_chains` to enable it.
+      * the string 'None'/'null' is accepted for patience (config quirk,
+        ``experiments.py:284-285``).
+    """
+    if early_stop_patience in (None, "None", "null"):
+        early_stop_patience = None
+    if mcmc_type == "full_3d":
+        effective_patience = None
+    else:
+        effective_patience = early_stop_patience
+    spec = ChainSpec(
+        N=N,
+        n_steps=n_steps,
+        schedule=schedule,
+        init_mode=init_mode,
+        mcmc_type=mcmc_type,
+        early_stop_patience=effective_patience,
+        history_stride=history_stride,
+        kernel=kernel,
+        n_bins=n_bins,
+    )
+    seeds = base_seed + np.arange(n_runs, dtype=np.int64)
+    return run_chains(
+        np.asarray(seeds, dtype=np.uint32),
+        spec,
+        mesh=mesh,
+        verbose=verbose,
+        checkpointer=checkpointer,
+    )

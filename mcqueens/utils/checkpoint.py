@@ -1,0 +1,93 @@
+"""Periodic checkpoint/resume for long annealing runs.
+
+The reference has no resume path — a 120 h SLURM job that dies restarts from
+scratch (SURVEY §5.4).  Here the entire sampler state is a small pytree of
+per-chain arrays (heights/queens, count table, RNG key, best state, stats
+counters), so checkpointing is a cheap host-side ``npz`` dump between jitted
+segments.  Restores are exact: the carry *is* the chain, and per-step keys are
+counter-based, so a resumed run is bit-identical to an uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_key(x) -> bool:
+    return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
+def _to_numpy(x):
+    """Typed PRNG keys are serialized as their raw uint32 data."""
+    return np.asarray(jax.random.key_data(x) if _is_key(x) else x)
+
+
+class Checkpointer:
+    """Saves/restores a chain carry + streamed history between segments.
+
+    Layout: a single ``<dir>/<tag>.npz`` with the carry leaves (field names of
+    the carry NamedTuple), the completed segment count, and the history chunks
+    emitted so far.  Writes are atomic (tempfile + rename).
+    """
+
+    def __init__(self, directory: str, tag: str = "chain", every: int = 1,
+                 min_segments: int = 2):
+        self.directory = directory
+        self.tag = tag
+        self.every = max(1, every)
+        self.min_segments = min_segments
+        os.makedirs(directory, exist_ok=True)
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.directory, f"{self.tag}.npz")
+
+    def save(self, carry, segments_done: int, history_chunks) -> None:
+        if segments_done % self.every != 0:
+            return
+        payload = {f"carry_{name}": _to_numpy(val)
+                   for name, val in carry._asdict().items()
+                   if val is not None}
+        payload["segments_done"] = np.asarray(segments_done)
+        payload["n_history_chunks"] = np.asarray(len(history_chunks))
+        for idx, chunk in enumerate(history_chunks):
+            payload[f"hist_{idx}"] = np.asarray(chunk)
+        fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, **payload)
+            os.replace(tmp, self.path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def restore(self, template_carry):
+        """Return (carry, segments_done, history_chunks) or None if absent.
+
+        ``template_carry`` supplies the NamedTuple type and None-leaves.
+        """
+        if not os.path.exists(self.path):
+            return None
+        with np.load(self.path) as data:
+            fields = {}
+            for name, val in template_carry._asdict().items():
+                key = f"carry_{name}"
+                if key not in data:
+                    fields[name] = None
+                elif _is_key(val):
+                    fields[name] = jax.random.wrap_key_data(data[key])
+                else:
+                    fields[name] = data[key]
+            carry = type(template_carry)(**fields)
+            segments_done = int(data["segments_done"])
+            chunks = [data[f"hist_{i}"] for i in range(int(data["n_history_chunks"]))]
+        return carry, segments_done, chunks
+
+    def clear(self) -> None:
+        if os.path.exists(self.path):
+            os.unlink(self.path)

@@ -5,15 +5,14 @@ Must set the env vars before jax is imported anywhere (SURVEY §4.4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force CPU: the shell env pins JAX_PLATFORMS to the real TPU ("axon"), and
+# the interpreter imports jax at startup (sitecustomize), so env vars are too
+# late — use config updates, which take effect before backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses we may spawn
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Compile cost dominates this suite (many small shapes); cache executables

@@ -1,0 +1,118 @@
+"""Distribution tests on the virtual 8-device CPU mesh (SURVEY §4.4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mcqueens.chain.spec import ChainSpec
+from mcqueens.core.schedules import build_schedule
+from mcqueens.dist import mesh as mesh_mod
+from mcqueens.dist import runner
+from mcqueens.utils.checkpoint import Checkpointer
+
+
+def _spec(n_steps=800, **kw):
+    defaults = dict(
+        N=5,
+        n_steps=n_steps,
+        schedule=build_schedule("linear_annealing", n_steps, beta_start=0.5, beta_end=3.0),
+        init_mode="random",
+        mcmc_type="board",
+    )
+    defaults.update(kw)
+    return ChainSpec(**defaults)
+
+
+def test_eight_virtual_devices_present():
+    assert jax.device_count() == 8
+
+
+def test_sharded_run_bitwise_equals_unsharded():
+    """Chain streams are keyed by global chain id, so results must be
+    independent of the device layout (1 device vs 8-device mesh)."""
+    spec = _spec()
+    seeds = np.arange(16, dtype=np.uint32)
+    plain = runner.run_chains(seeds, spec)
+    mesh = mesh_mod.make_mesh()
+    sharded = runner.run_chains(seeds, spec, mesh=mesh)
+    np.testing.assert_array_equal(plain.energy_history, sharded.energy_history)
+    np.testing.assert_array_equal(plain.final_state, sharded.final_state)
+    np.testing.assert_array_equal(plain.best_energy, sharded.best_energy)
+    np.testing.assert_array_equal(plain.accept_bins, sharded.accept_bins)
+
+
+def test_sharded_run_pads_nondivisible_chain_count():
+    spec = _spec(n_steps=300)
+    mesh = mesh_mod.make_mesh()
+    res = runner.run_chains(np.arange(10, dtype=np.uint32), spec, mesh=mesh)
+    assert res.n_runs == 10
+    plain = runner.run_chains(np.arange(10, dtype=np.uint32), spec)
+    np.testing.assert_array_equal(plain.energy_history, res.energy_history)
+
+
+def test_submesh_equivalence():
+    """2-device and 8-device meshes give identical chains."""
+    spec = _spec(n_steps=300)
+    seeds = np.arange(8, dtype=np.uint32)
+    m2 = mesh_mod.make_mesh(jax.devices()[:2])
+    m8 = mesh_mod.make_mesh()
+    a = runner.run_chains(seeds, spec, mesh=m2)
+    b = runner.run_chains(seeds, spec, mesh=m8)
+    np.testing.assert_array_equal(a.energy_history, b.energy_history)
+
+
+def test_global_best_stats_reduction():
+    spec = _spec(n_steps=300)
+    mesh = mesh_mod.make_mesh()
+    res = runner.run_chains(np.arange(8, dtype=np.uint32), spec, mesh=mesh)
+    gmin, gargmin, mean_e = jax.jit(mesh_mod.global_best_stats)(
+        res.best_energy, res.final_energy
+    )
+    assert int(gmin) == res.best_energy.min()
+    assert res.best_energy[int(gargmin)] == res.best_energy.min()
+    assert float(mean_e) == pytest.approx(res.final_energy.mean(), rel=1e-6)
+
+
+def test_checkpoint_resume_is_bit_identical(tmp_path):
+    spec = _spec(n_steps=1000)
+    seeds = np.arange(4, dtype=np.uint32)
+
+    uninterrupted = runner.run_chains(seeds, spec)
+
+    ck = Checkpointer(str(tmp_path), every=1, min_segments=4)
+
+    class StopAfterTwo(Exception):
+        pass
+
+    # Simulate a crash after 2 of 4 segments by a saving checkpointer whose
+    # save raises once two segments are in.
+    class CrashingCheckpointer(Checkpointer):
+        def save(self, carry, segments_done, chunks):
+            super().save(carry, segments_done, chunks)
+            if segments_done == 2:
+                raise StopAfterTwo()
+
+    crasher = CrashingCheckpointer(str(tmp_path), every=1, min_segments=4)
+    with pytest.raises(StopAfterTwo):
+        runner.run_chains(seeds, spec, checkpointer=crasher)
+
+    resumed = runner.run_chains(seeds, spec, checkpointer=ck)
+    np.testing.assert_array_equal(
+        resumed.energy_history, uninterrupted.energy_history
+    )
+    np.testing.assert_array_equal(resumed.final_state, uninterrupted.final_state)
+    np.testing.assert_array_equal(resumed.best_energy, uninterrupted.best_energy)
+    np.testing.assert_array_equal(resumed.accept_bins, uninterrupted.accept_bins)
+
+
+def test_checkpoint_full3d_roundtrip(tmp_path):
+    spec = _spec(n_steps=400, mcmc_type="full_3d", N=4)
+    seeds = np.arange(2, dtype=np.uint32)
+    plain = runner.run_chains(seeds, spec)
+    ck = Checkpointer(str(tmp_path), tag="f3d", every=1, min_segments=2)
+    first = runner.run_chains(seeds, spec, checkpointer=ck)
+    np.testing.assert_array_equal(plain.energy_history, first.energy_history)
+    # resume from the completed checkpoint: should short-circuit to the end
+    again = runner.run_chains(seeds, spec, checkpointer=ck)
+    np.testing.assert_array_equal(plain.final_state, again.final_state)
