@@ -12,7 +12,7 @@ from typing import Optional
 
 from mcqueens.core.schedules import Schedule
 
-KERNELS = ("tables", "naive")
+KERNELS = ("tables", "naive", "pallas")
 MCMC_TYPES = ("board", "full_3d")
 
 
@@ -44,8 +44,12 @@ class ChainSpec:
             ``experiments.py:643-738``); counters accumulate on device
             instead of materializing per-step accept/reject index lists.
         kernel: "tables" (O(1) incremental delta-E from line-family count
-            tables) or "naive" (O(N^2) one-vs-all rescan, the reference
-            algorithm vectorized — kept as a cross-check and fallback).
+            tables), "naive" (O(N^2) one-vs-all rescan, the reference
+            algorithm vectorized — kept as a cross-check and fallback), or
+            "pallas" (the VMEM-resident fused TPU kernel,
+            :mod:`mcqueens.kernels.metropolis_pallas` — board mode only;
+            fastest by orders of magnitude, uses the on-chip PRNG so its
+            streams differ from the threefry kernels).
     """
 
     N: int
@@ -62,6 +66,8 @@ class ChainSpec:
     def __post_init__(self):
         if self.kernel not in KERNELS:
             raise ValueError(f"Unknown kernel: {self.kernel}")
+        if self.kernel == "pallas" and self.mcmc_type != "board":
+            raise ValueError("the pallas kernel implements board mode only")
         if self.mcmc_type not in MCMC_TYPES:
             raise ValueError(f"Unknown mcmc_type: {self.mcmc_type}")
         if self.init_mode not in ("random", "latin", "klarner"):
@@ -70,6 +76,12 @@ class ChainSpec:
             raise ValueError("history_stride must be >= 1")
         if self.N < 2:
             raise ValueError("N must be >= 2")
+        if self.n_steps * self.n_bins >= 2 ** 31:
+            # Bin indices are computed in exact int32 arithmetic on device.
+            raise ValueError(
+                f"n_steps * n_bins must fit in int32; got {self.n_steps} * "
+                f"{self.n_bins}. Reduce n_bins or split the run."
+            )
 
     @property
     def n_history_points(self) -> int:

@@ -1,0 +1,83 @@
+"""Competition CLI: anneal hard, export the best board found.
+
+Reference behavior (``competition.py:143-191``): N=15, 10 runs x 1e5 steps,
+random init, linear beta 1.0->3.0, base seed 42; runs sorted by best energy;
+the winner's heights written to ``competition_results/best_heights_{N}_{ts}.txt``
+as ``i,j,k`` lines.  Here those are flag defaults, runs are one fused batch,
+and --chains can oversample far beyond the reference's process count.
+
+    python -m mcqueens.cli.competition [--n 15] [--n-runs 10]
+        [--n-steps 100000] [--beta-start 1.0] [--beta-end 3.0] [--seed 42]
+        [--kernel tables] [--outdir .]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--n", type=int, default=15)
+    parser.add_argument("--n-runs", type=int, default=10)
+    parser.add_argument("--n-steps", type=int, default=100000)
+    parser.add_argument("--init-mode", default="random")
+    parser.add_argument("--beta-start", type=float, default=1.0)
+    parser.add_argument("--beta-end", type=float, default=3.0)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--early-stop-patience", type=int, default=None)
+    parser.add_argument("--kernel", default="tables",
+                        choices=("tables", "naive", "pallas"))
+    parser.add_argument("--history-stride", type=int, default=None,
+                        help="default: full history for <=64 runs, thinned above")
+    parser.add_argument("--mesh", action="store_true")
+    parser.add_argument("--outdir", default=".")
+    args = parser.parse_args(argv)
+
+    from mcqueens.core.schedules import build_schedule
+    from mcqueens.dist import mesh as mesh_mod
+    from mcqueens.dist import runner
+    from mcqueens.utils import cache, profiling
+
+    cache.enable()
+
+    stride = args.history_stride
+    if stride is None:
+        stride = 1 if args.n_runs <= 64 else max(1, args.n_steps // 1024)
+
+    schedule = build_schedule(
+        "linear_annealing", args.n_steps,
+        beta_start=args.beta_start, beta_end=args.beta_end,
+    )
+    mesh = mesh_mod.make_mesh() if args.mesh else None
+    res = runner.run_experiment(
+        N=args.n, n_steps=args.n_steps, init_mode=args.init_mode,
+        schedule=schedule, n_runs=args.n_runs, base_seed=args.seed,
+        mcmc_type="board", early_stop_patience=args.early_stop_patience,
+        verbose=True, mesh=mesh, history_stride=stride, kernel=args.kernel,
+    )
+
+    order = np.argsort(res.best_energy, kind="stable")
+    print("Best energies:", [int(res.best_energy[r]) for r in order])
+    best = res.best_state[order[0]]
+    print(best)
+    print(profiling.throughput_of(res))
+
+    out_dir = os.path.join(args.outdir, "competition_results")
+    os.makedirs(out_dir, exist_ok=True)
+    ts = time.strftime("%Y%m%d_%H%M")
+    path = os.path.join(out_dir, f"best_heights_{args.n}_{ts}.txt")
+    with open(path, "w") as f:
+        for i in range(args.n):
+            for j in range(args.n):
+                f.write(f"{i},{j},{best[i, j]}\n")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -75,6 +75,10 @@ class ChainResult:
 
 
 def _modules(spec: ChainSpec):
+    if spec.kernel == "pallas":
+        from mcqueens.kernels import metropolis_pallas
+
+        return metropolis_pallas
     return board_chain if spec.mcmc_type == "board" else full3d_chain
 
 
@@ -113,11 +117,19 @@ def run_chains(
         pad = seeds[-1] + 1 + np.arange(n_padded - n_runs, dtype=np.uint32)
         seeds = np.concatenate([seeds, pad])
 
-    keys = rng_mod.chain_keys_from_seeds(seeds)
-    if mesh is not None:
-        keys = mesh_mod.shard_chains(keys, mesh)
-
     mod = _modules(spec)
+    is_pallas = spec.kernel == "pallas"
+    if is_pallas:
+        if mesh is not None:
+            raise NotImplementedError(
+                "mesh sharding of the pallas kernel: use run_chains_sharded"
+            )
+        init_arg = seeds
+    else:
+        keys = rng_mod.chain_keys_from_seeds(seeds)
+        if mesh is not None:
+            keys = mesh_mod.shard_chains(keys, mesh)
+        init_arg = keys
 
     n_outer = spec.n_outer
     if verbose:
@@ -134,8 +146,8 @@ def run_chains(
         jax.profiler.trace(profile_dir) if profile_dir else _nullcontext()
     )
     with profiler_cm:
-        carry = mod.init_carry_batch(keys, spec)
-        e0 = np.asarray(carry.energy)
+        carry = mod.init_carry_batch(init_arg, spec)
+        e0 = np.asarray(carry.energy).reshape(-1)
         history_chunks = []
         start_seg = 0
         if checkpointer is not None:
@@ -167,7 +179,7 @@ def run_chains(
         np.arange(n_outer + 1, dtype=np.int64) * spec.history_stride, spec.n_steps
     )
 
-    stop_step = np.asarray(carry.stop_step)
+    stop_step = np.asarray(carry.stop_step).reshape(-1)
     # Reference-equivalent truncated history length: a run breaking at step s
     # appends energies for steps 0..s-1 only (the break precedes the append,
     # experiments.py:349-355), i.e. ceil(s / stride) points plus the initial.
@@ -176,8 +188,12 @@ def run_chains(
     history_len = (np.where(stopped, pts, n_outer) + 1).astype(np.int64)
 
     if spec.mcmc_type == "board":
-        final_state = np.asarray(carry.heights).reshape(-1, spec.N, spec.N)
-        best_state = np.asarray(carry.best_heights).reshape(-1, spec.N, spec.N)
+        final_state = np.asarray(carry.heights, dtype=np.int64).reshape(
+            -1, spec.N, spec.N
+        )
+        best_state = np.asarray(carry.best_heights, dtype=np.int64).reshape(
+            -1, spec.N, spec.N
+        )
     else:
         final_state = np.asarray(carry.queens)
         best_state = np.asarray(carry.best_queens)
@@ -188,11 +204,11 @@ def run_chains(
         energy_history=energy_history[s],
         history_steps=history_steps,
         history_len=history_len[s],
-        final_energy=np.asarray(carry.energy)[s],
+        final_energy=np.asarray(carry.energy).reshape(-1)[s],
         final_state=final_state[s],
-        best_energy=np.asarray(carry.best_energy)[s],
+        best_energy=np.asarray(carry.best_energy).reshape(-1)[s],
         best_state=best_state[s],
-        steps_to_best=np.asarray(carry.best_step)[s],
+        steps_to_best=np.asarray(carry.best_step).reshape(-1)[s],
         stop_step=stop_step[s],
         accept_bins=np.asarray(carry.accept_bins)[s],
         total_bins=np.asarray(carry.total_bins)[s],

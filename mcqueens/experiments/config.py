@@ -1,0 +1,123 @@
+"""Config system: accepts the reference YAML schema verbatim, plus a tpu section.
+
+Schema (reference ``config.yaml:1-38``, parsed at ``experiments.py:1204-1218``):
+
+    experiment_type: single_N | measure_min_energy_vs_N | beta_start_end_pairs
+                     | compare_beta_end
+    common:
+      n_steps, n_runs, verbose, initialization, mcmc_type (default "board"),
+      early_stop_patience (int | None | the literal string 'None'),
+      output_path,
+      betta_scheduling:           # (sic — reference key spelling)
+        type: <schedule> | [<schedule>, ...]
+        base_seed, beta_const, beta_start, beta_end
+    single_N: {N}
+    measure_min_energy_vs_N: {Ns, init_modes}
+    beta_start_end_pairs: {N, beta_start_ends, annealing_type, output_path,
+                           output_path_acceptance}
+    compare_beta_end: {Ns (exactly 2), beta_start_ends, annealing_type,
+                       output_path}
+
+New, optional, TPU-native section (all defaulted so reference configs run
+unchanged):
+
+    tpu:
+      kernel: tables | naive | pallas     # delta-E kernel
+      history_stride: int                 # energy-history thinning
+      n_bins: int                         # acceptance bins (default 100)
+      mesh: bool | int                    # shard chains over devices
+      checkpoint_dir: str | null          # segment checkpoint/resume
+      profile_dir: str | null             # jax.profiler trace output
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import yaml
+
+EXPERIMENT_TYPES = (
+    "single_N",
+    "measure_min_energy_vs_N",
+    "beta_start_end_pairs",
+    "compare_beta_end",
+)
+
+
+@dataclasses.dataclass
+class TpuConfig:
+    kernel: str = "tables"
+    history_stride: int = 1
+    n_bins: int = 100
+    mesh: Any = False          # False | True (all devices) | int (first n)
+    checkpoint_dir: Optional[str] = None
+    profile_dir: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Config:
+    raw: dict
+    experiment_type: str
+    common: dict
+    tpu: TpuConfig
+
+    @property
+    def n_steps(self) -> int:
+        return int(self.common["n_steps"])
+
+    @property
+    def n_runs(self) -> int:
+        return int(self.common["n_runs"])
+
+    @property
+    def verbose(self) -> bool:
+        return bool(self.common["verbose"])
+
+    @property
+    def init_mode(self) -> str:
+        return self.common["initialization"]
+
+    @property
+    def mcmc_type(self) -> str:
+        return self.common.get("mcmc_type", "board")
+
+    @property
+    def early_stop_patience(self):
+        # The reference accepts the literal string 'None'
+        # (config.yaml:9, experiments.py:1216-1218).
+        v = self.common.get("early_stop_patience", 100000)
+        if v in (None, "None", "null"):
+            return None
+        return int(v)
+
+    @property
+    def output_path(self) -> str:
+        return self.common["output_path"]
+
+    @property
+    def sched_cfg(self) -> dict:
+        return self.common["betta_scheduling"]
+
+    def section(self, name: str) -> dict:
+        return self.raw[name]
+
+
+def load_config(path: str) -> Config:
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return parse_config(raw)
+
+
+def parse_config(raw: dict) -> Config:
+    experiment_type = raw["experiment_type"]
+    if experiment_type not in EXPERIMENT_TYPES:
+        raise ValueError(f"Unknown experiment_type: {experiment_type}")
+    common = raw["common"]
+    tpu_raw = raw.get("tpu", {}) or {}
+    allowed = {f.name for f in dataclasses.fields(TpuConfig)}
+    unknown = set(tpu_raw) - allowed
+    if unknown:
+        raise ValueError(f"Unknown tpu config keys: {sorted(unknown)}")
+    tpu = TpuConfig(**tpu_raw)
+    return Config(raw=raw, experiment_type=experiment_type, common=common, tpu=tpu)

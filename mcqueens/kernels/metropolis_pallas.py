@@ -1,0 +1,303 @@
+"""Pallas TPU kernel: the entire board-mode Metropolis segment in VMEM.
+
+Why a kernel at all: measured on the target, an XLA ``lax.scan`` step pays
+~4 us of loop overhead and rewrites its HBM-resident carry every step —
+O(1 ms) per step for pod-scale chain counts.  This kernel moves the whole
+sampling loop on-chip:
+
+  * grid over blocks of chains; each block's state (heights, best board,
+    energy/stat scalars, acceptance bins) lives in VMEM for the whole
+    segment — HBM traffic is one load + one store per segment instead of
+    per step;
+  * delta-E is the gather-free disjointness identity
+    (:mod:`mcqueens.kernels.delta_e`) evaluated as ~30 fused int32 vector
+    passes over the (C_blk, N^2) board — Mosaic exposes no per-lane
+    gather/scatter, so the count-table trick is XLA-side only;
+  * proposals come from the hardware PRNG (``pltpu.prng_random_bits``),
+    seeded per (block, segment) — same Metropolis distribution as the
+    threefry-based jnp kernels, different stream (SURVEY §2.1: parity is
+    distribution-level, and the chain invariants are retested against the
+    oracle for this kernel);
+  * all state buffers are input/output-aliased, so segments chain in place.
+
+Semantics match :mod:`mcqueens.chain.board` exactly (same proposal law,
+acceptance rule, best tracking, patience early stop, bin accounting) — only
+the RNG stream differs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcqueens.chain.spec import ChainSpec
+from mcqueens.core import init as init_mod
+from mcqueens.core import tables as tables_mod
+
+# Chains per VMEM block.  1 MB of board state at N=16; bigger blocks
+# amortize the per-step (C, 1) scalar ops.
+DEFAULT_BLOCK = 1024
+_SUBLANE = 8  # sublane tile granularity for chain counts
+
+
+class PallasBoardCarry(NamedTuple):
+    """Sampler state between kernel segments (chains padded to the block)."""
+
+    block_seeds: jax.Array   # (n_blocks, 1) int32: per-block PRNG seed base
+    heights: jax.Array       # (C, N*N) int32
+    best_heights: jax.Array  # (C, N*N) int32
+    energy: jax.Array        # (C, 1) int32
+    best_energy: jax.Array   # (C, 1) int32
+    best_step: jax.Array     # (C, 1) int32
+    no_improve: jax.Array    # (C, 1) int32
+    stop_step: jax.Array     # (C, 1) int32 (== n_steps when never stopped)
+    accept_bins: jax.Array   # (C, n_bins) int32
+    total_bins: jax.Array    # (C, n_bins) int32
+
+
+def block_size(n_chains: int) -> int:
+    if n_chains >= DEFAULT_BLOCK:
+        return DEFAULT_BLOCK
+    return -(-n_chains // _SUBLANE) * _SUBLANE
+
+
+def padded_chains(n_chains: int) -> int:
+    blk = block_size(n_chains)
+    return -(-n_chains // blk) * blk
+
+
+def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
+            ni_ref, st_ref, ab_ref, tb_ref,
+            h_out, bh_out, e_out, be_out, bs_out, ni_out, st_out,
+            ab_out, tb_out, *, spec: ChainSpec, n_inner: int):
+    N = spec.N
+    NN = N * N
+    c_blk = h_ref.shape[0]
+
+    pltpu.prng_seed(seed_ref[0, 0], step0_ref[0, 0])
+
+    cell = lax.broadcasted_iota(jnp.int32, (c_blk, NN), 1)
+    ig8 = (cell // N).astype(jnp.int32)
+    jg8 = (cell % N).astype(jnp.int32)
+    bin_lanes = lax.broadcasted_iota(jnp.int32, (1, spec.n_bins), 1)
+
+    def body(t, carry):
+        h, bh, e, be, bs, ni, st, ab, tb = carry
+        gstep = step0_ref[0, 0] + t
+
+        r = pltpu.prng_random_bits((c_blk, 2))
+        w0 = pltpu.bitcast(r[:, 0:1], jnp.int32) & jnp.int32(0x7FFFFFFF)
+        w1 = pltpu.bitcast(r[:, 1:2], jnp.int32)
+        i = w0 % N
+        j = (w0 // N) % N
+        kr = (w0 // (N * N)) % (N - 1)
+        # 24-bit uniform in [0, 1)
+        u = ((w1 >> 7) & jnp.int32(0xFFFFFF)).astype(jnp.float32) * jnp.float32(
+            1.0 / (1 << 24)
+        )
+
+        fij = i * N + j
+        sel = cell == fij  # (c_blk, NN) one-hot of the chosen column
+        old_k = jnp.sum(
+            jnp.where(sel, h, jnp.int32(0)), axis=1, keepdims=True, dtype=jnp.int32
+        )
+        new_k = (old_k + 1 + kr) % N
+
+        i8 = i.astype(jnp.int32)
+        j8 = j.astype(jnp.int32)
+        ok8 = old_k.astype(jnp.int32)
+        nk8 = new_k.astype(jnp.int32)
+
+        # Gather-free delta-E (see kernels/delta_e.py; verified vs tables).
+        # (math.absi does not legalize on this target; use max(x, -x).)
+        def _abs(x):
+            return jnp.maximum(x, -x)
+
+        di = _abs(ig8 - i8)
+        dj = _abs(jg8 - j8)
+        a = (di == 0).astype(jnp.int32)
+        b = (dj == 0).astype(jnp.int32)
+        eq = (di == dj).astype(jnp.int32)
+        s = a + b + eq
+        ae = a + eq
+        dko = _abs(h - ok8)
+        dkn = _abs(h - nk8)
+        dz = (dkn == 0).astype(jnp.int32) - (dko == 0).astype(jnp.int32)
+        dt1 = (dj == dkn).astype(jnp.int32) - (dj == dko).astype(jnp.int32)
+        dt2 = (di == dkn).astype(jnp.int32) - (di == dko).astype(jnp.int32)
+        integrand = s * dz + b * dt2 + ae * dt1
+        d_e = (
+            jnp.sum(integrand, axis=1, keepdims=True, dtype=jnp.int32)
+            + jnp.int32(6)
+        )
+
+        gstep_f = jnp.full((1, 1), 0, jnp.float32) + gstep.astype(jnp.float32)
+        beta = spec.schedule(gstep_f)
+        accept = u < jnp.exp(-beta * d_e.astype(jnp.float32))
+
+        done = st < spec.n_steps
+        active = jnp.logical_and(~done, gstep < spec.n_steps)
+        upd = jnp.logical_and(accept, active)
+
+        h = jnp.where(jnp.logical_and(sel, upd), nk8, h)
+        e = e + jnp.where(upd, d_e, 0)
+
+        improved = jnp.logical_and(upd, e < be)
+        bh = jnp.where(improved, h, bh)
+        be = jnp.where(improved, e, be)
+        bs = jnp.where(improved, gstep + 1, bs)
+        ni = jnp.where(active, jnp.where(improved, 0, ni + 1), ni)
+        if spec.early_stop_patience is not None:
+            newly = jnp.logical_and(active, ni >= spec.early_stop_patience)
+            st = jnp.where(newly, gstep, st)
+
+        # Acceptance bins: the bin index is one scalar for the whole step;
+        # dynamic lane slicing must be 128-aligned, so accumulate through a
+        # one-hot lane mask instead.
+        bin_idx = jnp.minimum(
+            gstep * spec.n_bins // spec.n_steps, spec.n_bins - 1
+        )
+        one_hot = (bin_lanes == bin_idx).astype(jnp.int32)
+        inc = active.astype(jnp.int32)
+        ab = ab + one_hot * (inc * accept.astype(jnp.int32))
+        tb = tb + one_hot * inc
+
+        return h, bh, e, be, bs, ni, st, ab, tb
+
+    h, bh, e, be, bs, ni, st, ab, tb = lax.fori_loop(
+        0,
+        n_inner,
+        body,
+        (h_ref[:], bh_ref[:], e_ref[:], be_ref[:], bs_ref[:], ni_ref[:],
+         st_ref[:], ab_ref[:], tb_ref[:]),
+    )
+    h_out[:] = h
+    bh_out[:] = bh
+    e_out[:] = e
+    be_out[:] = be
+    bs_out[:] = bs
+    ni_out[:] = ni
+    st_out[:] = st
+    ab_out[:] = ab
+    tb_out[:] = tb
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_inner"))
+def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
+                       n_inner: int) -> PallasBoardCarry:
+    """One pallas_call advancing every block by n_inner steps."""
+    C, NN = carry.heights.shape
+    c_blk = block_size(C)
+    n_blocks = C // c_blk
+    nb = spec.n_bins
+
+    def chain_spec_(shape):
+        return pl.BlockSpec(shape, lambda b: (b, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),  # step0
+        pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),  # seed
+        chain_spec_((c_blk, NN)),      # heights
+        chain_spec_((c_blk, NN)),      # best_heights
+        chain_spec_((c_blk, 1)),       # energy
+        chain_spec_((c_blk, 1)),       # best_energy
+        chain_spec_((c_blk, 1)),       # best_step
+        chain_spec_((c_blk, 1)),       # no_improve
+        chain_spec_((c_blk, 1)),       # stop_step
+        chain_spec_((c_blk, nb)),      # accept_bins
+        chain_spec_((c_blk, nb)),      # total_bins
+    ]
+    out_specs = tuple(in_specs[2:])
+    out_shapes = (
+        jax.ShapeDtypeStruct((C, NN), jnp.int32),
+        jax.ShapeDtypeStruct((C, NN), jnp.int32),
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        jax.ShapeDtypeStruct((C, nb), jnp.int32),
+        jax.ShapeDtypeStruct((C, nb), jnp.int32),
+    )
+    step0_arr = (jnp.zeros((1, 1), jnp.int32) + step0).astype(jnp.int32)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, spec=spec, n_inner=n_inner),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 6: 4, 7: 5, 8: 6,
+                              9: 7, 10: 8},
+    )(step0_arr, carry.block_seeds, carry.heights, carry.best_heights,
+      carry.energy, carry.best_energy, carry.best_step, carry.no_improve,
+      carry.stop_step, carry.accept_bins, carry.total_bins)
+
+    return PallasBoardCarry(carry.block_seeds, *outs)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def init_carry_batch(seeds, spec: ChainSpec) -> PallasBoardCarry:
+    """Carry from per-chain integer seeds (padded to a whole block count).
+
+    Board initialization reuses the shared :mod:`mcqueens.core.init` path (same
+    distribution as the jnp kernels); the in-kernel PRNG stream is seeded per
+    (block, segment) from the first chain seed.
+    """
+    seeds = jnp.asarray(seeds, jnp.uint32)
+    C0 = seeds.shape[0]
+    C = padded_chains(C0)
+    if C > C0:
+        seeds = jnp.concatenate(
+            [seeds, seeds[-1] + 1 + jnp.arange(C - C0, dtype=jnp.uint32)]
+        )
+    n_blocks = C // block_size(C)
+
+    keys = jax.vmap(jax.random.key)(seeds)
+
+    def one(key):
+        init_key, _ = jax.random.split(key)
+        h = init_mod.board_init(init_key, spec.N, spec.init_mode).reshape(-1)
+        e0 = tables_mod.table_energy(tables_mod.build_board_table(
+            h.reshape(spec.N, spec.N)))
+        return h.astype(jnp.int32), e0
+
+    heights, e0 = jax.vmap(one)(keys)
+    e0 = e0[:, None].astype(jnp.int32)
+    block_seeds = (
+        seeds[0].astype(jnp.int32)
+        + 7919 * jnp.arange(n_blocks, dtype=jnp.int32)[:, None]
+    )
+    zeros = jnp.zeros((C, 1), jnp.int32)
+    return PallasBoardCarry(
+        block_seeds=block_seeds,
+        heights=heights,
+        best_heights=heights,
+        energy=e0,
+        best_energy=e0,
+        best_step=zeros,
+        no_improve=zeros,
+        stop_step=zeros + spec.n_steps,
+        accept_bins=jnp.zeros((C, spec.n_bins), jnp.int32),
+        total_bins=jnp.zeros((C, spec.n_bins), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_outer"))
+def run_segment(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
+                n_outer: int):
+    """Segment API matching chain/board.py: n_outer chunks of stride steps."""
+    stride = spec.history_stride
+
+    def chunk(c, outer_idx):
+        c = _run_block_segment(c, outer_idx * stride, spec, stride)
+        return c, c.energy[:, 0]
+
+    return lax.scan(chunk, carry, start_outer + jnp.arange(n_outer))

@@ -1,0 +1,194 @@
+"""End-to-end experiment-driver and CLI tests on tiny configs."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mcqueens.experiments import drivers
+from mcqueens.experiments.config import parse_config
+
+
+def _base_config(experiment_type, **common_overrides):
+    common = {
+        "n_steps": 300,
+        "n_runs": 2,
+        "verbose": False,
+        "initialization": "random",
+        "mcmc_type": "board",
+        "early_stop_patience": "None",
+        "betta_scheduling": {
+            "type": "linear_annealing",
+            "base_seed": 7,
+            "beta_const": 5.0,
+            "beta_start": 0.5,
+            "beta_end": 3.0,
+        },
+        "output_path": "figures/out.png",
+    }
+    common.update(common_overrides)
+    return {
+        "experiment_type": experiment_type,
+        "common": common,
+        "single_N": {"N": 5},
+        "measure_min_energy_vs_N": {"Ns": [4, 5], "init_modes": ["random", "latin"]},
+        "beta_start_end_pairs": {
+            "N": 5,
+            "beta_start_ends": [[0.5, 3.0], [1.0, 5.0]],
+            "annealing_type": "linear_annealing",
+            "output_path": "figures/pairs.png",
+            "output_path_acceptance": "figures/acc.png",
+        },
+        "compare_beta_end": {
+            "Ns": [4, 5],
+            "beta_start_ends": [[1.0, 3.0]],
+            "annealing_type": "exponential_annealing",
+            "output_path": "figures/cmp.png",
+        },
+    }
+
+
+def test_single_n_writes_figure_and_csv(tmp_path):
+    cfg = parse_config(_base_config("single_N"))
+    drivers.run_from_config(cfg, outdir=str(tmp_path))
+    assert (tmp_path / "figures" / "out.png").exists()
+    df = pd.read_csv(tmp_path / "results" / "Schedule.csv")
+    assert list(df.columns) == ["step", "mean_energy", "std_energy"]
+    assert len(df) == 301  # n_steps + 1 history points
+    assert (df["step"] == np.arange(301)).all()
+
+
+def test_single_n_multi_schedule_comparison(tmp_path):
+    raw = _base_config("single_N")
+    raw["common"]["betta_scheduling"]["type"] = [
+        "constant", "linear_annealing", "sinusoidal_annealing",
+    ]
+    cfg = parse_config(raw)
+    out = drivers.run_from_config(cfg, outdir=str(tmp_path))
+    assert set(out["all_histories"]) == {
+        "Constant beta=5.0", "Linear 0.5->3.0", "Sinusoidal 0.5->3.0",
+    }
+    assert (tmp_path / "results" / "Linear 0.5->3.0.csv").exists()
+
+
+def test_beta_start_end_pairs_outputs(tmp_path):
+    cfg = parse_config(_base_config("beta_start_end_pairs"))
+    out = drivers.run_from_config(cfg, outdir=str(tmp_path))
+    assert (tmp_path / "figures" / "pairs.png").exists()
+    assert (tmp_path / "figures" / "acc.png").exists()
+    df = pd.read_csv(tmp_path / "results" / "acceptance_rates_beta: 0.5->3.0.csv")
+    assert list(df.columns) == ["bin_center", "acceptance_rate"]
+    assert len(df) == 100
+    rates = df["acceptance_rate"].to_numpy()
+    assert np.nanmax(rates) <= 1.0 and np.nanmin(rates) >= 0.0
+    assert set(out["all_histories"]) == {"beta: 0.5->3.0", "beta: 1.0->5.0"}
+
+
+def test_compare_beta_end_fixed_plot_call(tmp_path):
+    """The reference's default experiment crashes on plot kwargs; ours must not."""
+    cfg = parse_config(_base_config("compare_beta_end"))
+    out = drivers.run_from_config(cfg, outdir=str(tmp_path))
+    assert (tmp_path / "figures" / "cmp.png").exists()
+    assert out["N1"] == 4 and out["N2"] == 5
+
+
+def test_measure_min_energy_vs_n_outputs(tmp_path):
+    cfg = parse_config(_base_config("measure_min_energy_vs_N"))
+    out = drivers.run_from_config(cfg, outdir=str(tmp_path))
+    for init in ("random", "latin"):
+        df = pd.read_csv(tmp_path / "results" / f"min_energy_vs_N_{init}.csv")
+        assert list(df.columns) == [
+            "N", f"{init}_mean_min_energy", f"{init}_std_min_energy",
+        ]
+        assert list(df["N"]) == [4, 5]
+        assert (tmp_path / "results" / f"steps_to_best_vs_N_{init}.csv").exists()
+    assert (tmp_path / "figures" / "out.png").exists()
+    base, ext = os.path.splitext(str(tmp_path / "figures" / "out.png"))
+    assert os.path.exists(base + "_convergence" + ext)
+    assert set(out["results"]) == {"random", "latin"}
+
+
+def test_seed_derivations_match_reference_rules(tmp_path):
+    """Pair idx*1000 / N2 +10000 / init-mode ord-sum offsets are reproduced."""
+    raw = _base_config("measure_min_energy_vs_N")
+    cfg = parse_config(raw)
+    out = drivers.run_from_config(cfg, outdir=str(tmp_path))
+    # Independent check: run the same (N, init) cell directly with the
+    # derived seed and compare best energies.
+    from mcqueens.core.schedules import schedule_from_common
+    from mcqueens.dist import runner
+
+    schedule, base_seed = schedule_from_common(cfg.common, cfg.n_steps)
+    for init in ("random", "latin"):
+        offset = sum(ord(c) for c in init) % 1000
+        for idx, N in enumerate([4, 5]):
+            res = runner.run_experiment(
+                N=N, n_steps=cfg.n_steps, init_mode=init, schedule=schedule,
+                n_runs=cfg.n_runs, base_seed=base_seed + 10 * idx + offset,
+                mcmc_type="board", early_stop_patience=None,
+            )
+            np.testing.assert_array_equal(
+                res.best_energy, out["results"][init]["all_min_energies"][idx]
+            )
+
+
+def test_config_none_string_and_unknown_tpu_key():
+    raw = _base_config("single_N", early_stop_patience="None")
+    cfg = parse_config(raw)
+    assert cfg.early_stop_patience is None
+    raw2 = _base_config("single_N")
+    raw2["tpu"] = {"kernle": "tables"}
+    with pytest.raises(ValueError, match="Unknown tpu config keys"):
+        parse_config(raw2)
+    raw3 = _base_config("single_N")
+    raw3["experiment_type"] = "bogus"
+    with pytest.raises(ValueError, match="experiment_type"):
+        parse_config(raw3)
+
+
+def test_reference_config_yaml_parses():
+    """The repo config.yaml (reference schema) must parse unchanged."""
+    from mcqueens.experiments.config import load_config
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "config.yaml"))
+    assert cfg.experiment_type == "compare_beta_end"
+    assert cfg.early_stop_patience is None
+    assert cfg.sched_cfg["base_seed"] == 42
+
+
+def test_competition_cli(tmp_path):
+    from mcqueens.cli import competition
+
+    rc = competition.main([
+        "--n", "5", "--n-runs", "2", "--n-steps", "400", "--outdir",
+        str(tmp_path),
+    ])
+    assert rc == 0
+    files = list((tmp_path / "competition_results").glob("best_heights_5_*.txt"))
+    assert len(files) == 1
+    lines = files[0].read_text().strip().splitlines()
+    assert len(lines) == 25
+    i, j, k = lines[7].split(",")
+    assert 0 <= int(k) < 5
+
+
+def test_experiments_cli(tmp_path):
+    import yaml
+
+    from mcqueens.cli import experiments as exp_cli
+
+    raw = _base_config("single_N")
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(raw))
+    rc = exp_cli.main(["--config", str(cfg_path), "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "figures" / "out.png").exists()
+
+
+def test_schedules_fig_cli(tmp_path):
+    from mcqueens.cli import schedules_fig
+
+    rc = schedules_fig.main(["--outdir", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "figures" / "beta_schedules.png").exists()

@@ -1,0 +1,102 @@
+"""Pallas kernel tests: delta-E identity + kernel invariants (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from mcqueens.chain.spec import ChainSpec
+from mcqueens.core import tables
+from mcqueens.core.schedules import build_schedule
+from mcqueens.dist import runner
+from mcqueens.kernels.delta_e import board_delta_e_dense
+from tests import _oracle
+
+
+@pytest.mark.parametrize("N", [3, 5, 8, 16])
+def test_dense_delta_e_equals_table_delta(N):
+    """The kernel's gather-free identity == count-table delta, exhaustively."""
+    rng = np.random.default_rng(N)
+    ii = np.indices((N, N)).reshape(2, -1)
+    ig, jg = jnp.int32(ii[0]), jnp.int32(ii[1])
+    h = rng.integers(0, N, size=(N, N))
+    t = tables.build_board_table(jnp.int32(h))
+    for i in range(N):
+        for j in range(N):
+            old_k = int(h[i, j])
+            for new_k in range(N):
+                if new_k == old_k:
+                    continue
+                d_ref, _, _ = tables.board_delta_e(t, i, j, old_k, new_k, N)
+                d = board_delta_e_dense(
+                    jnp.int32(h.reshape(1, -1)), ig, jg,
+                    jnp.int32([[i]]), jnp.int32([[j]]),
+                    jnp.int32([[old_k]]), jnp.int32([[new_k]]),
+                )
+                assert int(d_ref) == int(d[0, 0]), (N, i, j, old_k, new_k)
+
+
+def _run_pallas(spec, n_runs=8, base_seed=3):
+    with pltpu.force_tpu_interpret_mode():
+        return runner.run_chains(
+            base_seed + np.arange(n_runs, dtype=np.uint32), spec
+        )
+
+
+def _spec(**kw):
+    defaults = dict(
+        N=5,
+        n_steps=400,
+        schedule=build_schedule("linear_annealing", 400, beta_start=0.5,
+                                beta_end=3.0),
+        init_mode="random",
+        mcmc_type="board",
+        kernel="pallas",
+        history_stride=50,
+    )
+    defaults.update(kw)
+    return ChainSpec(**defaults)
+
+
+def test_pallas_kernel_invariants_interpret_mode():
+    spec = _spec()
+    res = _run_pallas(spec, n_runs=4)
+    assert res.energy_history.shape == (4, 9)
+    for r in range(res.n_runs):
+        assert res.final_energy[r] == _oracle.board_energy(res.final_state[r])
+        assert res.best_energy[r] == _oracle.board_energy(res.best_state[r])
+        assert res.best_energy[r] <= res.energy_history[r].min()
+    assert (res.total_bins.sum(axis=1) == spec.n_steps).all()
+    assert (res.accept_bins <= res.total_bins).all()
+    # annealing should improve over the initial energy for most chains
+    assert (res.best_energy <= res.energy_history[:, 0]).all()
+
+
+def test_pallas_kernel_deterministic():
+    spec = _spec(n_steps=200, history_stride=50)
+    a = _run_pallas(spec, n_runs=4)
+    b = _run_pallas(spec, n_runs=4)
+    np.testing.assert_array_equal(a.energy_history, b.energy_history)
+    np.testing.assert_array_equal(a.final_state, b.final_state)
+
+
+def test_pallas_early_stop():
+    spec = _spec(
+        n_steps=600,
+        schedule=build_schedule("constant", 600, beta_const=50.0),
+        early_stop_patience=40,
+        history_stride=50,
+    )
+    res = _run_pallas(spec, n_runs=4)
+    assert (res.stop_step < 600).any()
+    for r in range(res.n_runs):
+        s = res.stop_step[r]
+        if s < 600:
+            # frozen after stop; bins counted the breaking step then froze
+            assert res.total_bins[r].sum() == s + 1
+
+
+def test_pallas_spec_rejects_full3d():
+    with pytest.raises(ValueError, match="board mode only"):
+        _spec(mcmc_type="full_3d", Q=25)
