@@ -119,11 +119,21 @@ def run_chains(
 
     mod = _modules(spec)
     is_pallas = spec.kernel == "pallas"
-    if is_pallas:
-        if mesh is not None:
-            raise NotImplementedError(
-                "mesh sharding of the pallas kernel: use run_chains_sharded"
+    pallas_block = None
+    if is_pallas and mesh is not None:
+        # Each device must own whole VMEM blocks: pick the block from one
+        # device's share and pad the chain count to devices * block multiple.
+        n_dev = mesh.devices.size
+        per_dev = -(-n_padded // n_dev)
+        pallas_block = mod.block_size(per_dev)
+        per_dev = -(-per_dev // pallas_block) * pallas_block
+        total = per_dev * n_dev
+        if total > seeds.shape[0]:
+            pad = seeds[-1] + 1 + np.arange(
+                total - seeds.shape[0], dtype=np.uint32
             )
+            seeds = np.concatenate([seeds, pad])
+    if is_pallas:
         init_arg = seeds
     else:
         keys = rng_mod.chain_keys_from_seeds(seeds)
@@ -146,7 +156,18 @@ def run_chains(
         jax.profiler.trace(profile_dir) if profile_dir else _nullcontext()
     )
     with profiler_cm:
-        carry = mod.init_carry_batch(init_arg, spec)
+        if is_pallas:
+            carry = mod.init_carry_batch(init_arg, spec, block=pallas_block)
+            if mesh is not None:
+                carry = mesh_mod.shard_chains(carry, mesh)
+
+                def segment_fn(c, s, n):
+                    return mod.run_segment_sharded(c, s, spec, n, mesh)
+            else:
+                segment_fn = lambda c, s, n: mod.run_segment(c, s, spec, n)  # noqa: E731
+        else:
+            carry = mod.init_carry_batch(init_arg, spec)
+            segment_fn = lambda c, s, n: mod.run_segment(c, s, spec, n)  # noqa: E731
         e0 = np.asarray(carry.energy).reshape(-1)
         history_chunks = []
         start_seg = 0
@@ -155,9 +176,7 @@ def run_chains(
             if resumed is not None:
                 carry, start_seg, history_chunks = resumed
         for seg in range(start_seg, n_segs):
-            carry, ys = mod.run_segment(
-                carry, np.int32(seg * seg_outer), spec, seg_outer
-            )
+            carry, ys = segment_fn(carry, np.int32(seg * seg_outer), seg_outer)
             ys = np.asarray(ys)  # (seg_outer, C)
             history_chunks.append(ys)
             if verbose:

@@ -194,8 +194,8 @@ def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
                        n_inner: int) -> PallasBoardCarry:
     """One pallas_call advancing every block by n_inner steps."""
     C, NN = carry.heights.shape
-    c_blk = block_size(C)
-    n_blocks = C // c_blk
+    n_blocks = carry.block_seeds.shape[0]
+    c_blk = C // n_blocks
     nb = spec.n_bins
 
     def chain_spec_(shape):
@@ -243,22 +243,27 @@ def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
     return PallasBoardCarry(carry.block_seeds, *outs)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def init_carry_batch(seeds, spec: ChainSpec) -> PallasBoardCarry:
+@functools.partial(jax.jit, static_argnames=("spec", "block"))
+def init_carry_batch(seeds, spec: ChainSpec,
+                     block: int | None = None) -> PallasBoardCarry:
     """Carry from per-chain integer seeds (padded to a whole block count).
 
     Board initialization reuses the shared :mod:`mcqueens.core.init` path (same
     distribution as the jnp kernels); the in-kernel PRNG stream is seeded per
-    (block, segment) from the first chain seed.
+    (block, segment) from the first chain seed.  ``block`` overrides the VMEM
+    block size (mesh runs pick one device's chain share so shards hold whole
+    blocks).
     """
     seeds = jnp.asarray(seeds, jnp.uint32)
     C0 = seeds.shape[0]
-    C = padded_chains(C0)
+    if block is None:
+        block = block_size(C0)
+    C = -(-C0 // block) * block
     if C > C0:
         seeds = jnp.concatenate(
             [seeds, seeds[-1] + 1 + jnp.arange(C - C0, dtype=jnp.uint32)]
         )
-    n_blocks = C // block_size(C)
+    n_blocks = C // block
 
     keys = jax.vmap(jax.random.key)(seeds)
 
@@ -301,3 +306,32 @@ def run_segment(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
         return c, c.energy[:, 0]
 
     return lax.scan(chunk, carry, start_outer + jnp.arange(n_outer))
+
+
+@functools.cache
+def _sharded_segment_fn(spec: ChainSpec, n_outer: int, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    from mcqueens.dist.mesh import CHAINS_AXIS
+
+    carry_specs = PallasBoardCarry(*([P(CHAINS_AXIS)] * len(
+        PallasBoardCarry._fields)))
+    return jax.jit(
+        jax.shard_map(
+            lambda c, s: run_segment(c, s, spec, n_outer),
+            mesh=mesh,
+            in_specs=(carry_specs, P()),
+            out_specs=(carry_specs, P(None, CHAINS_AXIS)),
+            check_vma=False,
+        )
+    )
+
+
+def run_segment_sharded(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
+                        n_outer: int, mesh):
+    """run_segment over a chains mesh: each shard advances its whole blocks.
+
+    Requires the carry to hold an equal number of blocks per device (the
+    runner pads chain counts accordingly).
+    """
+    return _sharded_segment_fn(spec, n_outer, mesh)(carry, start_outer)

@@ -100,3 +100,21 @@ def test_pallas_early_stop():
 def test_pallas_spec_rejects_full3d():
     with pytest.raises(ValueError, match="board mode only"):
         _spec(mcmc_type="full_3d", Q=25)
+
+
+def test_pallas_sharded_over_mesh_matches_unsharded():
+    """Pallas kernel under shard_map on the 8-device CPU mesh."""
+    import jax
+
+    from mcqueens.dist import mesh as mesh_mod
+
+    spec = _spec(n_steps=200, history_stride=50)
+    seeds = np.arange(16, dtype=np.uint32)
+    mesh = mesh_mod.make_mesh(jax.devices()[:2])
+    with pltpu.force_tpu_interpret_mode():
+        plain = runner.run_chains(seeds, spec)
+        sharded = runner.run_chains(seeds, spec, mesh=mesh)
+    assert sharded.n_runs == plain.n_runs
+    # Same block size => same (block, lane) PRNG layout => identical streams.
+    np.testing.assert_array_equal(plain.energy_history, sharded.energy_history)
+    np.testing.assert_array_equal(plain.best_energy, sharded.best_energy)
