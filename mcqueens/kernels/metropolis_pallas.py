@@ -38,7 +38,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mcqueens.chain.spec import ChainSpec
-from mcqueens.core import init as init_mod
 from mcqueens.core import tables as tables_mod
 
 # Chains per VMEM block.  1 MB of board state at N=16; bigger blocks
@@ -81,7 +80,7 @@ def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
     NN = N * N
     c_blk = h_ref.shape[0]
 
-    pltpu.prng_seed(seed_ref[0, 0], step0_ref[0, 0])
+    pltpu.prng_seed(seed_ref[pl.program_id(0), 0], step0_ref[0, 0])
 
     cell = lax.broadcasted_iota(jnp.int32, (c_blk, NN), 1)
     ig8 = (cell // N).astype(jnp.int32)
@@ -203,7 +202,9 @@ def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
 
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),  # step0
-        pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),  # seed
+        # all block seeds (indexed by program_id in the kernel; sub-array
+        # SMEM blocks hit Mosaic's divisibility constraint)
+        pl.BlockSpec((n_blocks, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         chain_spec_((c_blk, NN)),      # heights
         chain_spec_((c_blk, NN)),      # best_heights
         chain_spec_((c_blk, 1)),       # energy
@@ -236,6 +237,12 @@ def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
         out_shape=out_shapes,
         input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 6: 4, 7: 5, 8: 6,
                               9: 7, 10: 8},
+        # (C_blk, 1) scalar columns tile-pad to 128 lanes, so the default
+        # 16 MB scoped-vmem budget overflows at 1024-chain blocks; v5e has
+        # 128 MB of VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(step0_arr, carry.block_seeds, carry.heights, carry.best_heights,
       carry.energy, carry.best_energy, carry.best_step, carry.no_improve,
       carry.stop_step, carry.accept_bins, carry.total_bins)
@@ -265,17 +272,14 @@ def init_carry_batch(seeds, spec: ChainSpec,
         )
     n_blocks = C // block
 
-    keys = jax.vmap(jax.random.key)(seeds)
+    # Hash-based batched init: vmapped threefry takes minutes to compile on
+    # this backend (see core/fastinit.py) — same distributions, instant compile.
+    from mcqueens.core import fastinit
 
-    def one(key):
-        init_key, _ = jax.random.split(key)
-        h = init_mod.board_init(init_key, spec.N, spec.init_mode).reshape(-1)
-        e0 = tables_mod.table_energy(tables_mod.build_board_table(
-            h.reshape(spec.N, spec.N)))
-        return h.astype(jnp.int32), e0
-
-    heights, e0 = jax.vmap(one)(keys)
-    e0 = e0[:, None].astype(jnp.int32)
+    h2d = fastinit.board_init_batch(seeds, spec.N, spec.init_mode)
+    heights = h2d.reshape(C, spec.N * spec.N).astype(jnp.int32)
+    tabs = jax.vmap(tables_mod.build_board_table)(h2d)
+    e0 = jax.vmap(tables_mod.table_energy)(tabs)[:, None].astype(jnp.int32)
     block_seeds = (
         seeds[0].astype(jnp.int32)
         + 7919 * jnp.arange(n_blocks, dtype=jnp.int32)[:, None]
