@@ -24,7 +24,6 @@ import numpy as np
 
 from mcqueens.chain.spec import ChainSpec
 from mcqueens.core.schedules import build_schedule
-from mcqueens.dist import runner as runner_mod
 from mcqueens.kernels import metropolis_pallas
 from mcqueens.utils import cache
 

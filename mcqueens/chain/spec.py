@@ -46,10 +46,11 @@ class ChainSpec:
         kernel: "tables" (O(1) incremental delta-E from line-family count
             tables), "naive" (O(N^2) one-vs-all rescan, the reference
             algorithm vectorized — kept as a cross-check and fallback), or
-            "pallas" (the VMEM-resident fused TPU kernel,
-            :mod:`mcqueens.kernels.metropolis_pallas` — board mode only;
-            fastest by orders of magnitude, uses the on-chip PRNG so its
-            streams differ from the threefry kernels).
+            "pallas" (the VMEM-resident fused TPU kernels,
+            :mod:`mcqueens.kernels.metropolis_pallas` /
+            :mod:`mcqueens.kernels.full3d_pallas`; fastest by orders of
+            magnitude, uses the on-chip PRNG so its streams differ from the
+            threefry kernels).
     """
 
     N: int
@@ -66,8 +67,6 @@ class ChainSpec:
     def __post_init__(self):
         if self.kernel not in KERNELS:
             raise ValueError(f"Unknown kernel: {self.kernel}")
-        if self.kernel == "pallas" and self.mcmc_type != "board":
-            raise ValueError("the pallas kernel implements board mode only")
         if self.mcmc_type not in MCMC_TYPES:
             raise ValueError(f"Unknown mcmc_type: {self.mcmc_type}")
         if self.init_mode not in ("random", "latin", "klarner"):

@@ -76,9 +76,13 @@ class ChainResult:
 
 def _modules(spec: ChainSpec):
     if spec.kernel == "pallas":
-        from mcqueens.kernels import metropolis_pallas
+        if spec.mcmc_type == "board":
+            from mcqueens.kernels import metropolis_pallas
 
-        return metropolis_pallas
+            return metropolis_pallas
+        from mcqueens.kernels import full3d_pallas
+
+        return full3d_pallas
     return board_chain if spec.mcmc_type == "board" else full3d_chain
 
 
@@ -156,18 +160,18 @@ def run_chains(
         jax.profiler.trace(profile_dir) if profile_dir else _nullcontext()
     )
     with profiler_cm:
+        def segment_fn(c, s, n):
+            return mod.run_segment(c, s, spec, n)
+
         if is_pallas:
             carry = mod.init_carry_batch(init_arg, spec, block=pallas_block)
             if mesh is not None:
                 carry = mesh_mod.shard_chains(carry, mesh)
 
-                def segment_fn(c, s, n):
+                def segment_fn(c, s, n):  # noqa: F811
                     return mod.run_segment_sharded(c, s, spec, n, mesh)
-            else:
-                segment_fn = lambda c, s, n: mod.run_segment(c, s, spec, n)  # noqa: E731
         else:
             carry = mod.init_carry_batch(init_arg, spec)
-            segment_fn = lambda c, s, n: mod.run_segment(c, s, spec, n)  # noqa: E731
         e0 = np.asarray(carry.energy).reshape(-1)
         history_chunks = []
         start_seg = 0
@@ -213,9 +217,19 @@ def run_chains(
         best_state = np.asarray(carry.best_heights, dtype=np.int64).reshape(
             -1, spec.N, spec.N
         )
-    else:
+    elif hasattr(carry, "queens"):
         final_state = np.asarray(carry.queens)
         best_state = np.asarray(carry.best_queens)
+    else:  # pallas full_3d carry stores coordinate planes
+        final_state = np.stack(
+            [np.asarray(carry.qi), np.asarray(carry.qj), np.asarray(carry.qk)],
+            axis=-1,
+        )
+        best_state = np.stack(
+            [np.asarray(carry.best_qi), np.asarray(carry.best_qj),
+             np.asarray(carry.best_qk)],
+            axis=-1,
+        )
 
     s = slice(0, n_runs)
     return ChainResult(

@@ -20,21 +20,17 @@ run-for-run, while execution is the fused batched sampler
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
-from mcqueens.chain.spec import ChainSpec
 from mcqueens.core import schedules as sched_mod
 from mcqueens.dist import runner
 from mcqueens.experiments import plotting
 from mcqueens.experiments.config import Config
 
 
-def _run(cfg_like, N, n_steps, init_mode, schedule, n_runs, base_seed,
+def _run(tpu, N, n_steps, init_mode, schedule, n_runs, base_seed,
          mcmc_type, early_stop_patience, verbose, mesh=None):
     """One batched experiment with the tpu-section knobs applied."""
-    tpu = cfg_like
     return runner.run_experiment(
         N=N,
         n_steps=n_steps,

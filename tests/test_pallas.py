@@ -97,9 +97,28 @@ def test_pallas_early_stop():
             assert res.total_bins[r].sum() == s + 1
 
 
-def test_pallas_spec_rejects_full3d():
-    with pytest.raises(ValueError, match="board mode only"):
-        _spec(mcmc_type="full_3d", Q=25)
+def test_pallas_full3d_invariants_interpret_mode():
+    spec = _spec(N=4, mcmc_type="full_3d", n_steps=300, history_stride=50)
+    res = _run_pallas(spec, n_runs=4)
+    for r in range(res.n_runs):
+        assert res.final_energy[r] == _oracle.full3d_energy(res.final_state[r])
+        assert res.best_energy[r] == _oracle.full3d_energy(res.best_state[r])
+        cells = {tuple(q) for q in res.final_state[r].tolist()}
+        assert len(cells) == spec.q_eff  # queens stay on distinct cells
+        assert (res.final_state[r] >= 0).all()
+        assert (res.final_state[r] < spec.N).all()
+    assert (res.total_bins.sum(axis=1) == spec.n_steps).all()
+    assert (res.best_energy <= res.energy_history[:, 0]).all()
+
+
+def test_pallas_full3d_klarner_init_zero_energy():
+    spec = _spec(N=11, mcmc_type="full_3d", init_mode="klarner",
+                 n_steps=40, history_stride=40,
+                 schedule=build_schedule("constant", 40, beta_const=100.0))
+    res = _run_pallas(spec, n_runs=2)
+    # beta=100: the zero-energy Klarner start is never left
+    assert (res.best_energy == 0).all()
+    assert (res.energy_history[:, 0] == 0).all()
 
 
 def test_pallas_sharded_over_mesh_matches_unsharded():
