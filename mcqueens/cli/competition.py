@@ -47,7 +47,11 @@ def main(argv=None) -> int:
 
     stride = args.history_stride
     if stride is None:
-        stride = 1 if args.n_runs <= 64 else max(1, args.n_steps // 1024)
+        if args.kernel == "pallas":
+            # one kernel launch per history point: keep chunks big
+            stride = max(1, args.n_steps // 1024)
+        else:
+            stride = 1 if args.n_runs <= 64 else max(1, args.n_steps // 1024)
 
     schedule = build_schedule(
         "linear_annealing", args.n_steps,
