@@ -147,13 +147,13 @@ def _kernel(step0_ref, seed_ref, qi_ref, qj_ref, qk_ref, occ_ref,
         )
         return (w >> bit) & 1
 
-    def body(t, carry):
-        (qi, qj, qk, occ, bqi, bqj, bqk, e, be, bs, ni, st, ab, tb) = carry
-        gstep = step0_ref[0, 0] + t
+    words_per_step = 2 + n_attempts
 
-        r = pltpu.prng_random_bits((c_blk, 2 + n_attempts))
-        w_q = pltpu.bitcast(r[:, 0:1], jnp.int32) & jnp.int32(0x7FFFFFFF)
-        w_u = pltpu.bitcast(r[:, 1:2], jnp.int32)
+    def one_step(gstep, r, off, carry):
+        (qi, qj, qk, occ, bqi, bqj, bqk, e, be, bs, ni, st, ab, tb) = carry
+
+        w_q = pltpu.bitcast(r[:, off:off + 1], jnp.int32) & jnp.int32(0x7FFFFFFF)
+        w_u = pltpu.bitcast(r[:, off + 1:off + 2], jnp.int32)
         q_idx = w_q % Q
         u = ((w_u >> 7) & jnp.int32(0xFFFFFF)).astype(jnp.float32) * jnp.float32(
             1.0 / (1 << 24)
@@ -171,7 +171,9 @@ def _kernel(step0_ref, seed_ref, qi_ref, qj_ref, qk_ref, occ_ref,
         new_cell = old_cell  # degenerate fallback: self-rejection, P < 1e-12
         found = jnp.zeros_like(old_cell)
         for a in range(n_attempts):
-            w = pltpu.bitcast(r[:, 2 + a:3 + a], jnp.int32) & jnp.int32(0x7FFFFFFF)
+            w = pltpu.bitcast(
+                r[:, off + 2 + a:off + 3 + a], jnp.int32
+            ) & jnp.int32(0x7FFFFFFF)
             cand = w % N3
             free = 1 - occ_test(occ, cand)
             take = (1 - found) * free
@@ -228,12 +230,24 @@ def _kernel(step0_ref, seed_ref, qi_ref, qj_ref, qk_ref, occ_ref,
 
         return (qi, qj, qk, occ, bqi, bqj, bqk, e, be, bs, ni, st, ab, tb)
 
-    out = lax.fori_loop(
-        0, n_inner, body,
-        (qi_ref[:], qj_ref[:], qk_ref[:], occ_ref[:], bqi_ref[:], bqj_ref[:],
-         bqk_ref[:], e_ref[:], be_ref[:], bs_ref[:], ni_ref[:], st_ref[:],
-         ab_ref[:], tb_ref[:]),
-    )
+    unroll = 4  # one PRNG draw feeds this many sequential proposals
+    n_unrolled = n_inner // unroll
+
+    def body(t, carry):
+        r = pltpu.prng_random_bits((c_blk, unroll * words_per_step))
+        gstep0 = step0_ref[0, 0] + t * unroll
+        for k in range(unroll):
+            carry = one_step(gstep0 + k, r, k * words_per_step, carry)
+        return carry
+
+    out = (qi_ref[:], qj_ref[:], qk_ref[:], occ_ref[:], bqi_ref[:],
+           bqj_ref[:], bqk_ref[:], e_ref[:], be_ref[:], bs_ref[:], ni_ref[:],
+           st_ref[:], ab_ref[:], tb_ref[:])
+    out = lax.fori_loop(0, n_unrolled, body, out)
+    for k in range(n_inner - n_unrolled * unroll):
+        r = pltpu.prng_random_bits((c_blk, words_per_step))
+        gstep = step0_ref[0, 0] + n_unrolled * unroll + k
+        out = one_step(gstep, r, 0, out)
     for ref, val in zip(
         (qi_out, qj_out, qk_out, occ_out, bqi_out, bqj_out, bqk_out, e_out,
          be_out, bs_out, ni_out, st_out, ab_out, tb_out),

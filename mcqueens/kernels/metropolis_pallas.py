@@ -72,6 +72,9 @@ def padded_chains(n_chains: int) -> int:
     return -(-n_chains // blk) * blk
 
 
+_UNROLL = 4  # sub-steps per fori iteration: amortizes the PRNG call (~+17%)
+
+
 def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
             ni_ref, st_ref, ab_ref, tb_ref,
             h_out, bh_out, e_out, be_out, bs_out, ni_out, st_out,
@@ -83,17 +86,13 @@ def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
     pltpu.prng_seed(seed_ref[pl.program_id(0), 0], step0_ref[0, 0])
 
     cell = lax.broadcasted_iota(jnp.int32, (c_blk, NN), 1)
-    ig8 = (cell // N).astype(jnp.int32)
-    jg8 = (cell % N).astype(jnp.int32)
+    i_grid = cell // N
+    j_grid = cell % N
     bin_lanes = lax.broadcasted_iota(jnp.int32, (1, spec.n_bins), 1)
 
-    def body(t, carry):
+    def one_step(gstep, w0, w1, carry):
         h, bh, e, be, bs, ni, st, ab, tb = carry
-        gstep = step0_ref[0, 0] + t
 
-        r = pltpu.prng_random_bits((c_blk, 2))
-        w0 = pltpu.bitcast(r[:, 0:1], jnp.int32) & jnp.int32(0x7FFFFFFF)
-        w1 = pltpu.bitcast(r[:, 1:2], jnp.int32)
         i = w0 % N
         j = (w0 // N) % N
         kr = (w0 // (N * N)) % (N - 1)
@@ -105,32 +104,30 @@ def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
         fij = i * N + j
         sel = cell == fij  # (c_blk, NN) one-hot of the chosen column
         old_k = jnp.sum(
-            jnp.where(sel, h, jnp.int32(0)), axis=1, keepdims=True, dtype=jnp.int32
+            jnp.where(sel, h, jnp.int32(0)), axis=1, keepdims=True,
+            dtype=jnp.int32,
         )
         new_k = (old_k + 1 + kr) % N
 
-        i8 = i.astype(jnp.int32)
-        j8 = j.astype(jnp.int32)
-        ok8 = old_k.astype(jnp.int32)
-        nk8 = new_k.astype(jnp.int32)
-
         # Gather-free delta-E (see kernels/delta_e.py; verified vs tables).
-        # (math.absi does not legalize on this target; use max(x, -x).)
-        def _abs(x):
-            return jnp.maximum(x, -x)
-
-        di = _abs(ig8 - i8)
-        dj = _abs(jg8 - j8)
-        a = (di == 0).astype(jnp.int32)
-        b = (dj == 0).astype(jnp.int32)
-        eq = (di == dj).astype(jnp.int32)
+        # All |d1|==|d2| tests use squared differences: absi/maxsi do not
+        # legalize on this target and squares save the extra passes anyway.
+        p = i_grid - i
+        q = j_grid - j
+        p2 = p * p
+        q2 = q * q
+        a = (p == 0).astype(jnp.int32)
+        b = (q == 0).astype(jnp.int32)
+        eq = (p2 == q2).astype(jnp.int32)
         s = a + b + eq
         ae = a + eq
-        dko = _abs(h - ok8)
-        dkn = _abs(h - nk8)
-        dz = (dkn == 0).astype(jnp.int32) - (dko == 0).astype(jnp.int32)
-        dt1 = (dj == dkn).astype(jnp.int32) - (dj == dko).astype(jnp.int32)
-        dt2 = (di == dkn).astype(jnp.int32) - (di == dko).astype(jnp.int32)
+        ro = h - old_k
+        rn = h - new_k
+        ro2 = ro * ro
+        rn2 = rn * rn
+        dz = (rn2 == 0).astype(jnp.int32) - (ro2 == 0).astype(jnp.int32)
+        dt1 = (q2 == rn2).astype(jnp.int32) - (q2 == ro2).astype(jnp.int32)
+        dt2 = (p2 == rn2).astype(jnp.int32) - (p2 == ro2).astype(jnp.int32)
         integrand = s * dz + b * dt2 + ae * dt1
         d_e = (
             jnp.sum(integrand, axis=1, keepdims=True, dtype=jnp.int32)
@@ -145,7 +142,7 @@ def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
         active = jnp.logical_and(~done, gstep < spec.n_steps)
         upd = jnp.logical_and(accept, active)
 
-        h = jnp.where(jnp.logical_and(sel, upd), nk8, h)
+        h = jnp.where(jnp.logical_and(sel, upd), new_k, h)
         e = e + jnp.where(upd, d_e, 0)
 
         improved = jnp.logical_and(upd, e < be)
@@ -170,13 +167,32 @@ def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
 
         return h, bh, e, be, bs, ni, st, ab, tb
 
-    h, bh, e, be, bs, ni, st, ab, tb = lax.fori_loop(
-        0,
-        n_inner,
-        body,
-        (h_ref[:], bh_ref[:], e_ref[:], be_ref[:], bs_ref[:], ni_ref[:],
-         st_ref[:], ab_ref[:], tb_ref[:]),
-    )
+    def words(r, k):
+        w0 = pltpu.bitcast(r[:, 2 * k:2 * k + 1], jnp.int32) & jnp.int32(
+            0x7FFFFFFF
+        )
+        w1 = pltpu.bitcast(r[:, 2 * k + 1:2 * k + 2], jnp.int32)
+        return w0, w1
+
+    n_unrolled = n_inner // _UNROLL
+
+    def body(t, carry):
+        # One PRNG draw feeds _UNROLL sequential proposals.
+        r = pltpu.prng_random_bits((c_blk, 2 * _UNROLL))
+        gstep0 = step0_ref[0, 0] + t * _UNROLL
+        for k in range(_UNROLL):
+            carry = one_step(gstep0 + k, *words(r, k), carry)
+        return carry
+
+    carry = (h_ref[:], bh_ref[:], e_ref[:], be_ref[:], bs_ref[:], ni_ref[:],
+             st_ref[:], ab_ref[:], tb_ref[:])
+    carry = lax.fori_loop(0, n_unrolled, body, carry)
+    # Remainder steps (n_inner not divisible by the unroll factor).
+    for k in range(n_inner - n_unrolled * _UNROLL):
+        r = pltpu.prng_random_bits((c_blk, 2 * _UNROLL))
+        gstep = step0_ref[0, 0] + n_unrolled * _UNROLL + k
+        carry = one_step(gstep, *words(r, 0), carry)
+    h, bh, e, be, bs, ni, st, ab, tb = carry
     h_out[:] = h
     bh_out[:] = bh
     e_out[:] = e

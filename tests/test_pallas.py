@@ -121,6 +121,39 @@ def test_pallas_full3d_klarner_init_zero_energy():
     assert (res.energy_history[:, 0] == 0).all()
 
 
+def test_pallas_kernel_samples_boltzmann_distribution():
+    """N=2 enumerable board: the TPU-PRNG sampler obeys the e^{-beta E} law.
+
+    History is thinned (stride 50) — a subsampled stationary chain is still
+    stationary, and one kernel launch per history point keeps interpret mode
+    affordable.
+    """
+    import itertools
+
+    N, beta, n_steps, stride = 2, 0.7, 10000, 50
+    spec = _spec(
+        N=N,
+        n_steps=n_steps,
+        schedule=build_schedule("constant", n_steps, beta_const=beta),
+        history_stride=stride,
+    )
+    res = _run_pallas(spec, n_runs=24, base_seed=17)
+
+    weights = {}
+    for hs in itertools.product(range(N), repeat=N * N):
+        h = np.array(hs).reshape(N, N)
+        e = _oracle.board_energy(h)
+        weights[e] = weights.get(e, 0.0) + np.exp(-beta * e)
+    z = sum(weights.values())
+
+    burn_points = 2000 // stride
+    samples = res.energy_history[:, burn_points:].reshape(-1)
+    assert samples.size >= 3000
+    for e, w in weights.items():
+        emp = (samples == e).mean()
+        assert abs(emp - w / z) < 0.03, (e, emp, w / z)
+
+
 def test_pallas_sharded_over_mesh_matches_unsharded():
     """Pallas kernel under shard_map on the 8-device CPU mesh."""
     import jax
