@@ -195,6 +195,12 @@ def run_chains(
                 checkpointer.save(carry, seg + 1, history_chunks)
         jax.block_until_ready(carry.energy)
     wall = time.time() - t0
+    if verbose:
+        total_props = int(np.asarray(carry.total_bins).sum())
+        print(
+            f"[mcqueens] {total_props:.3e} proposals in {wall:.2f}s "
+            f"= {total_props / max(wall, 1e-9):.3e} moves/s"
+        )
 
     hist = np.concatenate(history_chunks, axis=0)[:n_outer]  # (n_outer, C)
     energy_history = np.concatenate([e0[None, :], hist], axis=0).T  # (C, P)

@@ -31,6 +31,13 @@ from mcqueens.experiments.config import Config
 def _run(tpu, N, n_steps, init_mode, schedule, n_runs, base_seed,
          mcmc_type, early_stop_patience, verbose, mesh=None):
     """One batched experiment with the tpu-section knobs applied."""
+    checkpointer = None
+    if tpu.checkpoint_dir:
+        from mcqueens.utils.checkpoint import Checkpointer
+
+        # one checkpoint per sweep cell: resumable sweeps never collide
+        tag = f"{mcmc_type}_N{N}_{init_mode}_{schedule.kind}_s{base_seed}"
+        checkpointer = Checkpointer(tpu.checkpoint_dir, tag=tag)
     return runner.run_experiment(
         N=N,
         n_steps=n_steps,
@@ -45,6 +52,7 @@ def _run(tpu, N, n_steps, init_mode, schedule, n_runs, base_seed,
         history_stride=tpu.history_stride,
         kernel=tpu.kernel,
         n_bins=tpu.n_bins,
+        checkpointer=checkpointer,
     )
 
 

@@ -192,3 +192,40 @@ def test_schedules_fig_cli(tmp_path):
     rc = schedules_fig.main(["--outdir", str(tmp_path)])
     assert rc == 0
     assert (tmp_path / "figures" / "beta_schedules.png").exists()
+
+
+def test_experiment_with_mesh_and_checkpoint(tmp_path):
+    """tpu: mesh + checkpoint_dir knobs drive sharded, resumable sweeps."""
+    import yaml
+
+    from mcqueens.cli import experiments as exp_cli
+
+    raw = _base_config("single_N")
+    raw["tpu"] = {"mesh": True, "checkpoint_dir": str(tmp_path / "ckpt")}
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(raw))
+    rc = exp_cli.main(["--config", str(cfg_path), "--outdir", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "figures" / "out.png").exists()
+    ckpts = list((tmp_path / "ckpt").glob("*.npz"))
+    assert len(ckpts) == 1
+    # resumable: rerunning short-circuits from the completed checkpoint
+    rc = exp_cli.main(["--config", str(cfg_path), "--outdir", str(tmp_path)])
+    assert rc == 0
+
+
+def test_experiment_with_pallas_kernel(tmp_path):
+    import yaml
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mcqueens.cli import experiments as exp_cli
+
+    raw = _base_config("single_N")
+    raw["tpu"] = {"kernel": "pallas", "history_stride": 50}
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(raw))
+    with pltpu.force_tpu_interpret_mode():
+        rc = exp_cli.main(["--config", str(cfg_path), "--outdir", str(tmp_path)])
+    assert rc == 0
+    df_path = tmp_path / "results" / "Schedule.csv"
+    assert df_path.exists()
