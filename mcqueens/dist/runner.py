@@ -176,7 +176,7 @@ def run_chains(
         history_chunks = []
         start_seg = 0
         if checkpointer is not None:
-            resumed = checkpointer.restore(carry)
+            resumed = checkpointer.restore(carry, seg_outer=seg_outer)
             if resumed is not None:
                 carry, start_seg, history_chunks = resumed
         for seg in range(start_seg, n_segs):
@@ -192,7 +192,8 @@ def run_chains(
                     f"mean E={e.mean():.2f} min E={e.min()}"
                 )
             if checkpointer is not None:
-                checkpointer.save(carry, seg + 1, history_chunks)
+                checkpointer.save(carry, seg + 1, history_chunks,
+                                  seg_outer=seg_outer)
         jax.block_until_ready(carry.energy)
     wall = time.time() - t0
     if verbose:

@@ -47,13 +47,15 @@ class Checkpointer:
     def path(self) -> str:
         return os.path.join(self.directory, f"{self.tag}.npz")
 
-    def save(self, carry, segments_done: int, history_chunks) -> None:
+    def save(self, carry, segments_done: int, history_chunks,
+             seg_outer: int = -1) -> None:
         if segments_done % self.every != 0:
             return
         payload = {f"carry_{name}": _to_numpy(val)
                    for name, val in carry._asdict().items()
                    if val is not None}
         payload["segments_done"] = np.asarray(segments_done)
+        payload["seg_outer"] = np.asarray(seg_outer)
         payload["n_history_chunks"] = np.asarray(len(history_chunks))
         for idx, chunk in enumerate(history_chunks):
             payload[f"hist_{idx}"] = np.asarray(chunk)
@@ -66,20 +68,31 @@ class Checkpointer:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
-    def restore(self, template_carry):
+    def restore(self, template_carry, seg_outer: int = -1):
         """Return (carry, segments_done, history_chunks) or None if absent.
 
-        ``template_carry`` supplies the NamedTuple type and None-leaves.
+        ``template_carry`` supplies the NamedTuple type and None-leaves.  A
+        checkpoint whose leaves don't match the template's shapes/dtypes (tag
+        reuse across a config change) or whose segmentation differs (resume
+        with a different segment size would misalign steps) is ignored rather
+        than loaded wrong.
         """
         if not os.path.exists(self.path):
             return None
         with np.load(self.path) as data:
+            if "seg_outer" in data and int(data["seg_outer"]) != seg_outer:
+                return None
             fields = {}
             for name, val in template_carry._asdict().items():
                 key = f"carry_{name}"
                 if key not in data:
+                    if val is not None:
+                        return None  # stale checkpoint from another carry type
                     fields[name] = None
-                elif _is_key(val):
+                    continue
+                if data[key].shape != _to_numpy(val).shape:
+                    return None  # stale checkpoint from another config
+                if _is_key(val):
                     fields[name] = jax.random.wrap_key_data(data[key])
                 else:
                     fields[name] = data[key]

@@ -88,8 +88,8 @@ def test_checkpoint_resume_is_bit_identical(tmp_path):
     # Simulate a crash after 2 of 4 segments by a saving checkpointer whose
     # save raises once two segments are in.
     class CrashingCheckpointer(Checkpointer):
-        def save(self, carry, segments_done, chunks):
-            super().save(carry, segments_done, chunks)
+        def save(self, carry, segments_done, chunks, **kw):
+            super().save(carry, segments_done, chunks, **kw)
             if segments_done == 2:
                 raise StopAfterTwo()
 
@@ -116,3 +116,16 @@ def test_checkpoint_full3d_roundtrip(tmp_path):
     # resume from the completed checkpoint: should short-circuit to the end
     again = runner.run_chains(seeds, spec, checkpointer=ck)
     np.testing.assert_array_equal(plain.final_state, again.final_state)
+
+
+def test_stale_checkpoint_is_ignored(tmp_path):
+    """A checkpoint written under a different config must not be loaded."""
+    ck = Checkpointer(str(tmp_path), tag="x", every=1, min_segments=2)
+    spec_a = _spec(n_steps=400)
+    seeds = np.arange(4, dtype=np.uint32)
+    runner.run_chains(seeds, spec_a, checkpointer=ck)
+    # Different chain count => different carry shapes under the same tag.
+    fresh = runner.run_chains(np.arange(6, dtype=np.uint32), spec_a,
+                              checkpointer=ck)
+    plain = runner.run_chains(np.arange(6, dtype=np.uint32), spec_a)
+    np.testing.assert_array_equal(fresh.energy_history, plain.energy_history)
