@@ -35,7 +35,7 @@ BASELINE_MOVES_PER_SEC = 1e9
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=16)
-    parser.add_argument("--chains", type=int, default=8192)
+    parser.add_argument("--chains", type=int, default=16384)
     parser.add_argument("--segment-steps", type=int, default=8192,
                         help="steps per timed device call")
     parser.add_argument("--target-seconds", type=float, default=5.0)
