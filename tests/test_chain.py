@@ -208,3 +208,48 @@ def test_board_chain_samples_boltzmann_distribution():
     for e, p in expect.items():
         emp = (samples == e).mean()
         assert abs(emp - p) < 0.02, (e, emp, p)
+
+
+@pytest.mark.parametrize("kind,params", [
+    ("constant", dict(beta_const=2.0)),
+    ("exponential_annealing", dict(beta_start=0.5, beta_end=4.0)),
+    ("logarithmic_annealing", dict(beta_start=0.5, beta_end=4.0)),
+    ("sinusoidal_annealing", dict(beta_start=0.5, beta_end=4.0)),
+])
+def test_every_schedule_drives_a_chain(kind, params):
+    """All five schedule families run inside the fused step (linear is
+    exercised everywhere else)."""
+    spec = _spec(
+        N=5, n_steps=800, schedule=build_schedule(kind, 800, **params)
+    )
+    res = _run(spec, n_runs=2)
+    for r in range(2):
+        assert res.final_energy[r] == _oracle.board_energy(res.final_state[r])
+    if kind != "constant":
+        # annealing: early acceptance above late acceptance
+        rate = res.accept_bins.sum(0) / np.maximum(res.total_bins.sum(0), 1)
+        assert rate[:20].mean() > rate[-20:].mean()
+
+
+@pytest.mark.parametrize("init_mode", ["latin", "klarner"])
+def test_full3d_structured_inits_run(init_mode):
+    spec = _spec(
+        N=6, n_steps=500, mcmc_type="full_3d", init_mode=init_mode,
+        schedule=build_schedule("linear_annealing", 500, beta_start=0.5,
+                                beta_end=3.0),
+    )
+    res = _run(spec, n_runs=2)
+    for r in range(2):
+        assert res.final_energy[r] == _oracle.full3d_energy(res.final_state[r])
+        cells = {tuple(q) for q in res.final_state[r].tolist()}
+        assert len(cells) == 36
+
+
+def test_klarner_gcd1_board_chain_stays_at_zero_when_cold():
+    spec = _spec(
+        N=11, n_steps=200, init_mode="klarner",
+        schedule=build_schedule("constant", 200, beta_const=100.0),
+    )
+    res = _run(spec, n_runs=2)
+    assert (res.energy_history[:, 0] == 0).all()
+    assert (res.best_energy == 0).all()
