@@ -271,10 +271,11 @@ def init_carry_batch(seeds, spec: ChainSpec,
                      block: int | None = None) -> PallasBoardCarry:
     """Carry from per-chain integer seeds (padded to a whole block count).
 
-    Board initialization reuses the shared :mod:`mcqueens.core.init` path (same
-    distribution as the jnp kernels); the in-kernel PRNG stream is seeded per
-    (block, segment) from the first chain seed.  ``block`` overrides the VMEM
-    block size (mesh runs pick one device's chain share so shards hold whole
+    Board initialization uses the batched hash initializers
+    (:mod:`mcqueens.core.fastinit` — same distributions as the threefry path,
+    compiles instantly); the in-kernel PRNG stream is seeded per (block,
+    segment) from the first chain seed.  ``block`` overrides the VMEM block
+    size (mesh runs pick one device's chain share so shards hold whole
     blocks).
     """
     seeds = jnp.asarray(seeds, jnp.uint32)
