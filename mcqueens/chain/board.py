@@ -55,11 +55,19 @@ class BoardCarry(NamedTuple):
     total_bins: jax.Array       # (n_bins,) int32
 
 
-def init_carry(chain_key, spec: ChainSpec) -> BoardCarry:
-    """Single-chain carry from a chain key (vmap over keys for a batch)."""
+def init_carry(chain_key, spec: ChainSpec, heights0=None) -> BoardCarry:
+    """Single-chain carry from a chain key (vmap over keys for a batch).
+
+    ``heights0`` warm-starts the chain from an explicit (N, N) board instead
+    of ``spec.init_mode`` — the reference's explicit-state constructor path
+    (``mcmc_board.py:60-66``); validation happens in the runner.
+    """
     N = spec.N
     init_key, step_base = jax.random.split(chain_key)
-    heights = init_mod.board_init(init_key, N, spec.init_mode).reshape(-1)
+    if heights0 is None:
+        heights = init_mod.board_init(init_key, N, spec.init_mode).reshape(-1)
+    else:
+        heights = jnp.asarray(heights0, jnp.int32).reshape(-1)
     table = tables_mod.build_board_table(heights.reshape(N, N))
     e0 = tables_mod.table_energy(table)
     if spec.kernel != "tables":
@@ -184,6 +192,8 @@ def run_segment(carry: BoardCarry, start_outer, spec: ChainSpec, n_outer: int):
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def init_carry_batch(keys, spec: ChainSpec) -> BoardCarry:
-    """Batched carry: one chain per key."""
-    return jax.vmap(lambda k: init_carry(k, spec))(keys)
+def init_carry_batch(keys, spec: ChainSpec, initial_states=None) -> BoardCarry:
+    """Batched carry: one chain per key; optional (C, N, N) warm starts."""
+    if initial_states is None:
+        return jax.vmap(lambda k: init_carry(k, spec))(keys)
+    return jax.vmap(lambda k, h: init_carry(k, spec, h))(keys, initial_states)

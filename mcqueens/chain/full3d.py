@@ -53,10 +53,17 @@ class Full3DCarry(NamedTuple):
     total_bins: jax.Array
 
 
-def init_carry(chain_key, spec: ChainSpec) -> Full3DCarry:
+def init_carry(chain_key, spec: ChainSpec, queens0=None) -> Full3DCarry:
+    """``queens0`` warm-starts from explicit (Q, 3) positions (the reference's
+    ``State3DQueens(positions=...)`` path, ``mcmc.py:106-111``)."""
     N, Q = spec.N, spec.q_eff
     init_key, step_base = jax.random.split(chain_key)
-    queens, occ = init_mod.full3d_init(init_key, N, spec.init_mode, Q=Q)
+    if queens0 is None:
+        queens, occ = init_mod.full3d_init(init_key, N, spec.init_mode, Q=Q)
+    else:
+        queens = jnp.asarray(queens0, jnp.int32)
+        cells = queens[:, 0] * N * N + queens[:, 1] * N + queens[:, 2]
+        occ = jnp.zeros((N * N * N,), bool).at[cells].set(True)
     table = tables_mod.build_full3d_table(queens, N)
     e0 = tables_mod.table_energy(table)
     if spec.kernel != "tables":
@@ -193,5 +200,8 @@ def run_segment(carry: Full3DCarry, start_outer, spec: ChainSpec, n_outer: int):
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def init_carry_batch(keys, spec: ChainSpec) -> Full3DCarry:
-    return jax.vmap(lambda k: init_carry(k, spec))(keys)
+def init_carry_batch(keys, spec: ChainSpec, initial_states=None) -> Full3DCarry:
+    """Batched carry: one chain per key; optional (C, Q, 3) warm starts."""
+    if initial_states is None:
+        return jax.vmap(lambda k: init_carry(k, spec))(keys)
+    return jax.vmap(lambda k, q: init_carry(k, spec, q))(keys, initial_states)

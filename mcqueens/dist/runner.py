@@ -86,6 +86,28 @@ def _modules(spec: ChainSpec):
     return board_chain if spec.mcmc_type == "board" else full3d_chain
 
 
+def validate_initial_states(initial_states, spec: ChainSpec, n_runs: int):
+    """Reference-style explicit-state validation (``mcmc_board.py:60-66``,
+    ``mcmc.py:106-118``): shapes, value ranges, distinct cells."""
+    arr = np.asarray(initial_states)
+    if spec.mcmc_type == "board":
+        want = (n_runs, spec.N, spec.N)
+        if arr.shape != want:
+            raise ValueError(f"initial_states must have shape {want}, got {arr.shape}")
+        if ((arr < 0) | (arr >= spec.N)).any():
+            raise ValueError(f"All heights must be in [0, {spec.N - 1}]")
+    else:
+        want = (n_runs, spec.q_eff, 3)
+        if arr.shape != want:
+            raise ValueError(f"initial_states must have shape {want}, got {arr.shape}")
+        if ((arr < 0) | (arr >= spec.N)).any():
+            raise ValueError(f"All coordinates must be in [0, {spec.N - 1}]")
+        for r in range(n_runs):
+            if len({tuple(q) for q in arr[r].tolist()}) != spec.q_eff:
+                raise ValueError("Two queens occupy the same (i,j,k) cell.")
+    return arr.astype(np.int32)
+
+
 def run_chains(
     seeds,
     spec: ChainSpec,
@@ -95,6 +117,7 @@ def run_chains(
     min_segments: int = 1,
     checkpointer=None,
     profile_dir: Optional[str] = None,
+    initial_states=None,
 ) -> ChainResult:
     """Run one independent chain per seed, fused and (optionally) sharded.
 
@@ -115,11 +138,21 @@ def run_chains(
     """
     seeds = np.asarray(seeds, dtype=np.uint32)
     n_runs = seeds.shape[0]
+    if initial_states is not None:
+        if spec.kernel == "pallas":
+            raise NotImplementedError(
+                "warm starts are supported by the tables/naive kernels"
+            )
+        initial_states = validate_initial_states(initial_states, spec, n_runs)
     n_padded = mesh_mod.pad_chains(n_runs, mesh)
     if n_padded > n_runs:
         # Pad with distinct follow-on seeds; padded lanes are discarded.
         pad = seeds[-1] + 1 + np.arange(n_padded - n_runs, dtype=np.uint32)
         seeds = np.concatenate([seeds, pad])
+        if initial_states is not None:
+            # padded lanes reuse the last warm start (discarded at slice time)
+            reps = np.repeat(initial_states[-1:], n_padded - n_runs, axis=0)
+            initial_states = np.concatenate([initial_states, reps])
 
     mod = _modules(spec)
     is_pallas = spec.kernel == "pallas"
@@ -171,7 +204,7 @@ def run_chains(
                 def segment_fn(c, s, n):  # noqa: F811
                     return mod.run_segment_sharded(c, s, spec, n, mesh)
         else:
-            carry = mod.init_carry_batch(init_arg, spec)
+            carry = mod.init_carry_batch(init_arg, spec, initial_states)
         e0 = np.asarray(carry.energy).reshape(-1)
         history_chunks = []
         start_seg = 0

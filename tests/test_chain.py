@@ -253,3 +253,38 @@ def test_klarner_gcd1_board_chain_stays_at_zero_when_cold():
     res = _run(spec, n_runs=2)
     assert (res.energy_history[:, 0] == 0).all()
     assert (res.best_energy == 0).all()
+
+
+def test_board_warm_start_from_explicit_heights():
+    """The reference's explicit-state constructor path (mcmc_board heights=)."""
+    N = 6
+    rng = np.random.default_rng(0)
+    starts = rng.integers(0, N, size=(2, N, N))
+    spec = _spec(N=N, n_steps=300)
+    res = runner.run_chains(np.arange(2, dtype=np.uint32), spec,
+                            initial_states=starts)
+    for r in range(2):
+        assert res.energy_history[r, 0] == _oracle.board_energy(starts[r])
+        assert res.final_energy[r] == _oracle.board_energy(res.final_state[r])
+    with pytest.raises(ValueError, match="must be in"):
+        runner.run_chains(np.arange(2, dtype=np.uint32), spec,
+                          initial_states=starts + N)
+    with pytest.raises(ValueError, match="shape"):
+        runner.run_chains(np.arange(2, dtype=np.uint32), spec,
+                          initial_states=starts[:, :3])
+
+
+def test_full3d_warm_start_and_duplicate_rejection():
+    N, Q = 4, 16
+    rng = np.random.default_rng(1)
+    starts = np.stack([_oracle.random_full3d(rng, N, Q) for _ in range(2)])
+    spec = _spec(N=N, n_steps=200, mcmc_type="full_3d")
+    res = runner.run_chains(np.arange(2, dtype=np.uint32), spec,
+                            initial_states=starts)
+    for r in range(2):
+        assert res.energy_history[r, 0] == _oracle.full3d_energy(starts[r])
+    bad = starts.copy()
+    bad[0, 1] = bad[0, 0]  # duplicate cell
+    with pytest.raises(ValueError, match="same"):
+        runner.run_chains(np.arange(2, dtype=np.uint32), spec,
+                          initial_states=bad)
