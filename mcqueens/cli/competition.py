@@ -36,6 +36,9 @@ def main(argv=None) -> int:
                         help="default: full history for <=64 runs, thinned above")
     parser.add_argument("--mesh", action="store_true")
     parser.add_argument("--outdir", default=".")
+    parser.add_argument("--resume-from", default=None, metavar="BOARD_TXT",
+                        help="warm-start every run from a previously exported "
+                             "best_heights file (i,j,k lines)")
     args = parser.parse_args(argv)
 
     from mcqueens.core.schedules import build_schedule
@@ -53,17 +56,44 @@ def main(argv=None) -> int:
         else:
             stride = 1 if args.n_runs <= 64 else max(1, args.n_steps // 1024)
 
+    initial_states = None
+    if args.resume_from:
+        board = np.zeros((args.n, args.n), np.int32)
+        with open(args.resume_from) as f:
+            for line in f:
+                i, j, k = (int(x) for x in line.strip().split(","))
+                board[i, j] = k
+        initial_states = np.repeat(board[None], args.n_runs, axis=0)
+
     schedule = build_schedule(
         "linear_annealing", args.n_steps,
         beta_start=args.beta_start, beta_end=args.beta_end,
     )
     mesh = mesh_mod.make_mesh() if args.mesh else None
-    res = runner.run_experiment(
-        N=args.n, n_steps=args.n_steps, init_mode=args.init_mode,
-        schedule=schedule, n_runs=args.n_runs, base_seed=args.seed,
-        mcmc_type="board", early_stop_patience=args.early_stop_patience,
-        verbose=True, mesh=mesh, history_stride=stride, kernel=args.kernel,
-    )
+    if initial_states is not None:
+        from mcqueens.chain.spec import ChainSpec
+
+        if args.kernel == "pallas":
+            print("[mcqueens] --resume-from uses the tables kernel "
+                  "(warm starts are not supported by the pallas kernel)")
+        spec = ChainSpec(
+            N=args.n, n_steps=args.n_steps, schedule=schedule,
+            init_mode=args.init_mode, mcmc_type="board",
+            early_stop_patience=args.early_stop_patience,
+            history_stride=stride,
+            kernel="tables" if args.kernel == "pallas" else args.kernel,
+        )
+        res = runner.run_chains(
+            args.seed + np.arange(args.n_runs, dtype=np.uint32), spec,
+            mesh=mesh, verbose=True, initial_states=initial_states,
+        )
+    else:
+        res = runner.run_experiment(
+            N=args.n, n_steps=args.n_steps, init_mode=args.init_mode,
+            schedule=schedule, n_runs=args.n_runs, base_seed=args.seed,
+            mcmc_type="board", early_stop_patience=args.early_stop_patience,
+            verbose=True, mesh=mesh, history_stride=stride, kernel=args.kernel,
+        )
 
     order = np.argsort(res.best_energy, kind="stable")
     print("Best energies:", [int(res.best_energy[r]) for r in order])

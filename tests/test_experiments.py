@@ -229,3 +229,22 @@ def test_experiment_with_pallas_kernel(tmp_path):
     assert rc == 0
     df_path = tmp_path / "results" / "Schedule.csv"
     assert df_path.exists()
+
+
+def test_competition_resume_from_exported_board(tmp_path):
+    from mcqueens.cli import competition
+
+    rc = competition.main([
+        "--n", "5", "--n-runs", "2", "--n-steps", "300", "--outdir",
+        str(tmp_path),
+    ])
+    assert rc == 0
+    exported = sorted((tmp_path / "competition_results").glob("*.txt"))[-1]
+    rc = competition.main([
+        "--n", "5", "--n-runs", "2", "--n-steps", "300",
+        "--beta-start", "3.0", "--beta-end", "6.0",
+        "--resume-from", str(exported), "--outdir", str(tmp_path / "round2"),
+    ])
+    assert rc == 0
+    files = list((tmp_path / "round2" / "competition_results").glob("*.txt"))
+    assert len(files) == 1
