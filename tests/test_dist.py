@@ -129,3 +129,19 @@ def test_stale_checkpoint_is_ignored(tmp_path):
                               checkpointer=ck)
     plain = runner.run_chains(np.arange(6, dtype=np.uint32), spec_a)
     np.testing.assert_array_equal(fresh.energy_history, plain.energy_history)
+
+
+def test_profiler_trace_and_throughput_report(tmp_path):
+    """profile_dir writes a jax.profiler trace; throughput props are sane."""
+    from mcqueens.utils import profiling
+
+    spec = _spec(n_steps=200)
+    res = runner.run_chains(
+        np.arange(2, dtype=np.uint32), spec, profile_dir=str(tmp_path / "tr")
+    )
+    assert res.proposals == 2 * 200
+    assert res.moves_per_sec > 0
+    rep = profiling.throughput_of(res, n_devices=2)
+    assert rep.moves_per_sec_per_chip == rep.moves_per_sec / 2
+    assert "proposals" in str(rep)
+    assert any((tmp_path / "tr").rglob("*"))  # trace files were written
