@@ -73,15 +73,11 @@ def main(argv=None) -> int:
     if initial_states is not None:
         from mcqueens.chain.spec import ChainSpec
 
-        if args.kernel == "pallas":
-            print("[mcqueens] --resume-from uses the tables kernel "
-                  "(warm starts are not supported by the pallas kernel)")
         spec = ChainSpec(
             N=args.n, n_steps=args.n_steps, schedule=schedule,
             init_mode=args.init_mode, mcmc_type="board",
             early_stop_patience=args.early_stop_patience,
-            history_stride=stride,
-            kernel="tables" if args.kernel == "pallas" else args.kernel,
+            history_stride=stride, kernel=args.kernel,
         )
         res = runner.run_chains(
             args.seed + np.arange(args.n_runs, dtype=np.uint32), spec,

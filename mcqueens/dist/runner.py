@@ -139,10 +139,6 @@ def run_chains(
     seeds = np.asarray(seeds, dtype=np.uint32)
     n_runs = seeds.shape[0]
     if initial_states is not None:
-        if spec.kernel == "pallas":
-            raise NotImplementedError(
-                "warm starts are supported by the tables/naive kernels"
-            )
         initial_states = validate_initial_states(initial_states, spec, n_runs)
     n_padded = mesh_mod.pad_chains(n_runs, mesh)
     if n_padded > n_runs:
@@ -197,7 +193,10 @@ def run_chains(
             return mod.run_segment(c, s, spec, n)
 
         if is_pallas:
-            carry = mod.init_carry_batch(init_arg, spec, block=pallas_block)
+            carry = mod.init_carry_batch(
+                init_arg, spec, block=pallas_block,
+                initial_states=initial_states,
+            )
             if mesh is not None:
                 carry = mesh_mod.shard_chains(carry, mesh)
 

@@ -314,7 +314,8 @@ def _run_block_segment(carry: PallasFull3DCarry, step0, spec: ChainSpec,
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
 def init_carry_batch(seeds, spec: ChainSpec,
-                     block: int | None = None) -> PallasFull3DCarry:
+                     block: int | None = None,
+                     initial_states=None) -> PallasFull3DCarry:
     """Carry from per-chain integer seeds (hash-based init, see fastinit)."""
     from mcqueens.core import fastinit
 
@@ -330,7 +331,13 @@ def init_carry_batch(seeds, spec: ChainSpec,
     n_blocks = C // block
     N, Q = spec.N, spec.q_eff
 
-    queens = fastinit.full3d_init_batch(seeds, N, spec.init_mode, Q)
+    if initial_states is not None:
+        queens = jnp.asarray(initial_states, jnp.int32)
+        if C > queens.shape[0]:  # padded lanes reuse the last warm start
+            reps = jnp.repeat(queens[-1:], C - queens.shape[0], axis=0)
+            queens = jnp.concatenate([queens, reps])
+    else:
+        queens = fastinit.full3d_init_batch(seeds, N, spec.init_mode, Q)
     qi, qj, qk = queens[..., 0], queens[..., 1], queens[..., 2]
     cells = (qi * N + qj) * N + qk
     n_words = _occ_words(N)

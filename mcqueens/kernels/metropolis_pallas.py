@@ -267,7 +267,8 @@ def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
 def init_carry_batch(seeds, spec: ChainSpec,
-                     block: int | None = None) -> PallasBoardCarry:
+                     block: int | None = None,
+                     initial_states=None) -> PallasBoardCarry:
     """Carry from per-chain integer seeds (padded to a whole block count).
 
     Board initialization uses the batched hash initializers
@@ -292,7 +293,13 @@ def init_carry_batch(seeds, spec: ChainSpec,
     # this backend (see core/fastinit.py) — same distributions, instant compile.
     from mcqueens.core import fastinit
 
-    h2d = fastinit.board_init_batch(seeds, spec.N, spec.init_mode)
+    if initial_states is not None:
+        h2d = jnp.asarray(initial_states, jnp.int32)
+        if C > h2d.shape[0]:  # padded lanes reuse the last warm start
+            reps = jnp.repeat(h2d[-1:], C - h2d.shape[0], axis=0)
+            h2d = jnp.concatenate([h2d, reps])
+    else:
+        h2d = fastinit.board_init_batch(seeds, spec.N, spec.init_mode)
     heights = h2d.reshape(C, spec.N * spec.N).astype(jnp.int32)
     tabs = jax.vmap(tables_mod.build_board_table)(h2d)
     e0 = jax.vmap(tables_mod.table_energy)(tabs)[:, None].astype(jnp.int32)

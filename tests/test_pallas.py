@@ -170,3 +170,18 @@ def test_pallas_sharded_over_mesh_matches_unsharded():
     # Same block size => same (block, lane) PRNG layout => identical streams.
     np.testing.assert_array_equal(plain.energy_history, sharded.energy_history)
     np.testing.assert_array_equal(plain.best_energy, sharded.best_energy)
+
+
+def test_pallas_warm_start_from_explicit_heights():
+    N = 5
+    rng = np.random.default_rng(2)
+    starts = rng.integers(0, N, size=(3, N, N))
+    spec = _spec(N=N, n_steps=200, history_stride=50)
+    with pltpu.force_tpu_interpret_mode():
+        res = runner.run_chains(np.arange(3, dtype=np.uint32), spec,
+                                initial_states=starts)
+    from tests._oracle import board_energy
+
+    for r in range(3):
+        assert res.energy_history[r, 0] == board_energy(starts[r])
+        assert res.final_energy[r] == board_energy(res.final_state[r])
