@@ -92,7 +92,12 @@ def main(argv=None) -> int:
         )
 
     order = np.argsort(res.best_energy, kind="stable")
-    print("Best energies:", [int(res.best_energy[r]) for r in order])
+    shown = [int(res.best_energy[r]) for r in order[:20]]
+    suffix = " ..." if args.n_runs > 20 else ""
+    print(f"Best energies: {shown}{suffix}")
+    if args.n_runs > 20:
+        print(f"(over {args.n_runs} runs: min {int(res.best_energy.min())}, "
+              f"mean {res.best_energy.mean():.1f})")
     best = res.best_state[order[0]]
     print(best)
     print(profiling.throughput_of(res))
