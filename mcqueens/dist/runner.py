@@ -75,6 +75,10 @@ class ChainResult:
 
 
 def _modules(spec: ChainSpec):
+    if spec.kernel == "pallas_shared":
+        from mcqueens.kernels import board_shared
+
+        return board_shared
     if spec.kernel == "pallas":
         if spec.mcmc_type == "board":
             from mcqueens.kernels import metropolis_pallas
@@ -151,7 +155,7 @@ def run_chains(
             initial_states = np.concatenate([initial_states, reps])
 
     mod = _modules(spec)
-    is_pallas = spec.kernel == "pallas"
+    is_pallas = spec.kernel in ("pallas", "pallas_shared")
     pallas_block = None
     if is_pallas and mesh is not None:
         # Each device must own whole VMEM blocks: pick the block from one
