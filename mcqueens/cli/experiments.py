@@ -33,7 +33,14 @@ def main(argv=None) -> int:
     cache.enable()
 
     cfg = load_config(args.config)
-    mesh = mesh_mod.make_mesh() if (args.mesh or cfg.tpu.mesh) else None
+    mesh = None
+    if args.mesh or cfg.tpu.mesh:
+        if isinstance(cfg.tpu.mesh, bool) or args.mesh:
+            mesh = mesh_mod.make_mesh()
+        else:  # int: shard over the first n devices (config.py docstring)
+            import jax
+
+            mesh = mesh_mod.make_mesh(jax.devices()[: int(cfg.tpu.mesh)])
 
     with profiling.trace(args.profile_dir or cfg.tpu.profile_dir):
         with profiling.timed(f"experiment {cfg.experiment_type}"):

@@ -24,11 +24,19 @@ CHAINS_AXIS = "chains"
 
 
 def init_distributed(**kwargs):
-    """Initialize multi-host JAX (no-op if already initialized)."""
+    """Initialize multi-host JAX (no-op only if already initialized).
+
+    Real failures (bad coordinator address, port in use, mismatched process
+    counts, ...) propagate: a misconfigured pod run must abort loudly rather
+    than silently continue single-host.  Exercised by the two-process DCN
+    check (``tools/check_multihost.py`` / ``tests/test_multihost.py``).
+    """
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized (or single-process)
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def make_mesh(devices=None, axis_name: str = CHAINS_AXIS) -> Mesh:

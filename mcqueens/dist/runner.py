@@ -212,7 +212,11 @@ def run_chains(
         history_chunks = []
         start_seg = 0
         if checkpointer is not None:
-            resumed = checkpointer.restore(carry, seg_outer=seg_outer)
+            from mcqueens.utils.checkpoint import spec_fingerprint
+
+            ckpt_fp = spec_fingerprint(spec, seeds)
+            resumed = checkpointer.restore(carry, seg_outer=seg_outer,
+                                           fingerprint=ckpt_fp)
             if resumed is not None:
                 carry, start_seg, history_chunks = resumed
         for seg in range(start_seg, n_segs):
@@ -229,7 +233,7 @@ def run_chains(
                 )
             if checkpointer is not None:
                 checkpointer.save(carry, seg + 1, history_chunks,
-                                  seg_outer=seg_outer)
+                                  seg_outer=seg_outer, fingerprint=ckpt_fp)
         jax.block_until_ready(carry.energy)
     wall = time.time() - t0
     if verbose:

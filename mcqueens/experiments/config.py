@@ -22,7 +22,7 @@ New, optional, TPU-native section (all defaulted so reference configs run
 unchanged):
 
     tpu:
-      kernel: tables | naive | pallas     # delta-E kernel
+      kernel: tables | naive | pallas | pallas_shared   # delta-E kernel
       history_stride: int                 # energy-history thinning
       n_bins: int                         # acceptance bins (default 100)
       mesh: bool | int                    # shard chains over devices

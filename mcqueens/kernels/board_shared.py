@@ -109,9 +109,12 @@ def _layout_maps(N: int):
     to_sk = rc * N + ((b + rc) % N)        # Sk: h[r, (b + r) % N]
     to_ak = rc * N + ((b - rc) % N)        # Ak: h[r, (b - r) % N]
     inv_r = (np.arange(N * N) // N) * SN + (np.arange(N * N) % N)
+    # numpy (not jnp): this is functools.cached, and materializing jnp
+    # constants inside an active jit trace leaks tracers across traces.
     return (
-        jnp.int32(to_r), jnp.int32(to_c), jnp.int32(to_sk), jnp.int32(to_ak),
-        jnp.asarray(valid), jnp.int32(inv_r),
+        to_r.astype(np.int32), to_c.astype(np.int32),
+        to_sk.astype(np.int32), to_ak.astype(np.int32),
+        valid, inv_r.astype(np.int32),
     )
 
 

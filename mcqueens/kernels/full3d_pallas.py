@@ -1,26 +1,32 @@
-"""Pallas TPU kernel: full-3D Metropolis segments in VMEM.
+"""Pallas TPU kernel: full-3D Metropolis segments in VMEM (transposed).
 
-Same architecture as :mod:`mcqueens.kernels.metropolis_pallas` (chain blocks
-resident in VMEM for whole segments, hardware PRNG, in/out-aliased buffers),
-adapted to the unconstrained chain (``experiments.py:199-279``): Q queens at
-arbitrary distinct cells, proposals uniform over *unoccupied* cells.
+The unconstrained chain (``/root/reference/experiments.py:199-279``): Q queens
+at arbitrary distinct cells, proposals uniform over *unoccupied* cells,
+delta-E by two one-vs-all conflict evaluations against the queen list
+(``mcmc.py:185-226``).
 
-Key representation choices under this target's Mosaic constraints (no
-per-lane gather/scatter):
+Round-2 redesign (shared with :mod:`mcqueens.kernels.board_shared`):
 
-  * queen coordinates as three (C, Q) int32 planes; per-chain queen selection
-    and updates via one-hot lane masks;
-  * occupancy as a (C, N^3/32) int32 *bitfield* — membership tests and flips
-    are a one-hot word select plus shift/mask ops, so the whole cube costs
-    four 128-lane passes instead of a 4096-lane plane;
-  * the reference's unbounded rejection loop for "unoccupied cell" becomes K
-    unrolled attempts with first-success select, K sized so the probability
-    of exhausting all attempts is < 1e-12 (then the step degenerates to a
-    self-rejection); exactness loss is unmeasurable and documented;
-  * delta-E by two one-vs-all evaluations against the Q queens using the
-    disjoint-relation sum (all 7 relations are mutually exclusive on distinct
-    cells — SURVEY §2.1), with the moving queen's lane masked out, matching
-    ``mcmc.py:185-226``.
+  * **chains on the lane axis** — queen-coordinate planes are (Q, C), the
+    occupancy bitfield (ceil(N^3/32), C), and all per-chain bookkeeping
+    lives in (1, C) rows costing ~0.008 VREG/chain instead of the (C, 1)
+    columns of the round-1 layout (which tile-pad to 128 lanes and made
+    scalar bookkeeping ~40% of the step);
+  * **counter-based PRNG** (:mod:`mcqueens.kernels.prng`): words are hashed
+    on demand per attempt instead of pre-drawing ``2 + K`` hardware words
+    per step (round-1 drew all K rejection-attempt words even though the
+    expected attempt count is ~N/(N-1)); streams are bitwise identical on
+    TPU and in interpret mode;
+  * the reference's unbounded rejection loop for "unoccupied cell" remains
+    K unrolled attempts with first-success select, K sized so P(all
+    occupied) < 1e-12 at the spec's occupancy (``_attempts``); ChainSpec
+    rejects Q > N^3/2 for this kernel so the bound holds.
+
+Unlike the board, the full-3D delta-E has no sliceable locality here: a
+conflict test needs each queen's three coordinates (the 13 line families
+through a cell would need ~16 MB/chain-block of line-major layouts), so the
+one-vs-all O(Q) pass stays — transposing and the PRNG change are where the
+round-2 speedup comes from (measured: see docs/DESIGN.md).
 """
 
 from __future__ import annotations
@@ -37,13 +43,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mcqueens.chain.spec import ChainSpec
 from mcqueens.core import tables as tables_mod
+from mcqueens.kernels import prng
 
-DEFAULT_BLOCK = 512
-_SUBLANE = 8
+# Chains per VMEM block along the lane axis.
+DEFAULT_BLOCK = 2048
+_LANE = 128
+_UNROLL = 8
+
+import numpy as np
+
+_A_SALT = np.int32(0x3C6EF372)  # attempt-word stream offset
 
 
 class PallasFull3DCarry(NamedTuple):
-    """Per-chain sampler state between kernel segments."""
+    """Per-chain sampler state between kernel segments (chains-major)."""
 
     block_seeds: jax.Array  # (n_blocks, 1) int32
     qi: jax.Array           # (C, Q) int32
@@ -65,7 +78,12 @@ class PallasFull3DCarry(NamedTuple):
 def block_size(n_chains: int) -> int:
     if n_chains >= DEFAULT_BLOCK:
         return DEFAULT_BLOCK
-    return -(-n_chains // _SUBLANE) * _SUBLANE
+    return -(-n_chains // _LANE) * _LANE
+
+
+def padded_chains(n_chains: int) -> int:
+    blk = block_size(n_chains)
+    return -(-n_chains // blk) * blk
 
 
 def _attempts(N: int, Q: int) -> int:
@@ -89,92 +107,107 @@ def _attack_sum(di0, dj0, dk0, di_eq_dj, di_eq_dk, dj_eq_dk):
     plane_k = dk0 * di_eq_dj
     plane_j = dj0 * di_eq_dk
     plane_i = di0 * dj_eq_dk
-    space = di_eq_dj * dj_eq_dk
-    return same_ij + same_ik + same_jk + plane_k + plane_j + plane_i + space
-
-
-def _conflicts(qi, qj, qk, x, y, z, not_self):
-    """One-vs-all conflicts of candidate (x, y, z), mover's lane masked.
-
-    All relation indicators are built from *squared* differences (abs does
-    not legalize on this target).
-    """
-    p = qi - x
-    q = qj - y
-    r = qk - z
-    p2 = p * p
-    q2 = q * q
-    r2 = r * r
-    di0 = (p2 == 0).astype(jnp.int32)
-    dj0 = (q2 == 0).astype(jnp.int32)
-    dk0 = (r2 == 0).astype(jnp.int32)
-    att = _attack_sum(
-        di0, dj0, dk0,
-        (p2 == q2).astype(jnp.int32),
-        (p2 == r2).astype(jnp.int32),
-        (q2 == r2).astype(jnp.int32),
+    return same_ij + same_ik + same_jk + plane_k + plane_j + plane_i + (
+        di_eq_dj * dj_eq_dk
     )
-    return jnp.sum(att * not_self, axis=1, keepdims=True, dtype=jnp.int32)
 
 
-def _kernel(step0_ref, seed_ref, qi_ref, qj_ref, qk_ref, occ_ref,
-            bqi_ref, bqj_ref, bqk_ref, e_ref, be_ref, bs_ref, ni_ref, st_ref,
-            ab_ref, tb_ref,
-            qi_out, qj_out, qk_out, occ_out, bqi_out, bqj_out, bqk_out,
-            e_out, be_out, bs_out, ni_out, st_out, ab_out, tb_out,
+def _reduce_rows(x, S):
+    """(S, C) -> (1, C) sum along sublanes via tile-friendly strided adds."""
+    if S < 8 or S % 8:
+        return jnp.sum(x, axis=0, keepdims=True).astype(jnp.int32)
+    acc = x[0:8, :]
+    for off in range(8, S, 8):
+        acc = acc + x[off:off + 8, :]
+    acc = acc[0:4, :] + acc[4:8, :]
+    acc = acc[0:2, :] + acc[2:4, :]
+    return acc[0:1, :] + acc[1:2, :]
+
+
+def _kernel(step0_ref, seed_ref, qi_in, qj_in, qk_in, occ_in,
+            bqi_in, bqj_in, bqk_in, e_in, be_in, bs_in, ni_in, st_in,
+            ab_in, tb_in,
+            qi_o, qj_o, qk_o, occ_o, bqi_o, bqj_o, bqk_o,
+            e_o, be_o, bs_o, ni_o, st_o, ab_o, tb_o,
             *, spec: ChainSpec, n_inner: int):
     N = spec.N
     Q = spec.q_eff
+    QS = qi_in.shape[0]  # Q padded to a sublane multiple
     N3 = N * N * N
-    c_blk = qi_ref.shape[0]
-    n_words = _occ_words(N)
+    c_blk = qi_in.shape[1]
+    n_words = occ_in.shape[0]
     n_attempts = _attempts(N, Q)
+    nb = spec.n_bins
 
-    pltpu.prng_seed(seed_ref[pl.program_id(0), 0], step0_ref[0, 0])
+    seed = seed_ref[pl.program_id(0), 0]
+    step0 = step0_ref[0, 0]
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, c_blk), 1)
+    g = prng.chain_ids(seed, lane_iota)
 
-    lane_q = lax.broadcasted_iota(jnp.int32, (c_blk, Q), 1)
-    lane_w = lax.broadcasted_iota(jnp.int32, (c_blk, n_words), 1)
-    bin_lanes = lax.broadcasted_iota(jnp.int32, (1, spec.n_bins), 1)
+    qi_o[:] = qi_in[:]
+    qj_o[:] = qj_in[:]
+    qk_o[:] = qk_in[:]
+    occ_o[:] = occ_in[:]
+    bqi_o[:] = bqi_in[:]
+    bqj_o[:] = bqj_in[:]
+    bqk_o[:] = bqk_in[:]
 
-    def occ_test(occ, cell):
-        """(C,1) int32 0/1: is cell occupied?"""
-        word = cell // 32
-        bit = cell % 32
-        w = jnp.sum(
-            jnp.where(lane_w == word, occ, 0), axis=1, keepdims=True,
-            dtype=jnp.int32,
+    iota_q = lax.broadcasted_iota(jnp.int32, (QS, c_blk), 0)
+    iota_w = lax.broadcasted_iota(jnp.int32, (n_words, c_blk), 0)
+    bin_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    # Pad rows (q >= Q) must never attack or be selected.
+    pad_row = iota_q >= Q
+
+    def occupied(occ, cell):
+        """(1, C) int32 0/1: is per-chain cell occupied in the bitfield?"""
+        hit = jnp.where(iota_w == cell // 32, occ, 0)
+        w = _reduce_rows(hit, n_words)
+        return (w >> (cell % 32)) & 1
+
+    def conflicts(qi, qj, qk, x, y, z, not_self):
+        p = qi - x
+        q = qj - y
+        r = qk - z
+        p2 = p * p
+        q2 = q * q
+        r2 = r * r
+        att = _attack_sum(
+            (p2 == 0).astype(jnp.int32),
+            (q2 == 0).astype(jnp.int32),
+            (r2 == 0).astype(jnp.int32),
+            (p2 == q2).astype(jnp.int32),
+            (p2 == r2).astype(jnp.int32),
+            (q2 == r2).astype(jnp.int32),
         )
-        return (w >> bit) & 1
+        return _reduce_rows(att * not_self, QS)
 
-    words_per_step = 2 + n_attempts
+    def bin_of(gstep):
+        return jnp.minimum(gstep * nb // spec.n_steps, nb - 1)
 
-    def one_step(gstep, r, off, carry):
-        (qi, qj, qk, occ, bqi, bqj, bqk, e, be, bs, ni, st, ab, tb) = carry
+    def one_step(gstep, carry):
+        qi, qj, qk, occ = qi_o[:], qj_o[:], qk_o[:], occ_o[:]
+        e, be, bs, ni, st, acc_a, acc_t = carry
 
-        w_q = pltpu.bitcast(r[:, off:off + 1], jnp.int32) & jnp.int32(0x7FFFFFFF)
-        w_u = pltpu.bitcast(r[:, off + 1:off + 2], jnp.int32)
-        q_idx = w_q % Q
-        u = ((w_u >> 7) & jnp.int32(0xFFFFFF)).astype(jnp.float32) * jnp.float32(
-            1.0 / (1 << 24)
-        )
+        base = prng.step_base(g, gstep)
+        w_q, w_u = prng.words_from_base(base)
+        q_idx = w_q % jnp.int32(Q)
+        u = prng.uniform01(w_u)
 
-        # Moving queen's position (one-hot extraction over Q lanes).
-        sel_q = (lane_q == q_idx).astype(jnp.int32)
-        not_self = 1 - sel_q
-        ox = jnp.sum(sel_q * qi, axis=1, keepdims=True, dtype=jnp.int32)
-        oy = jnp.sum(sel_q * qj, axis=1, keepdims=True, dtype=jnp.int32)
-        oz = jnp.sum(sel_q * qk, axis=1, keepdims=True, dtype=jnp.int32)
+        sel = jnp.logical_and(iota_q == q_idx, ~pad_row)
+        sel_i = sel.astype(jnp.int32)
+        not_self = jnp.where(pad_row, 0, 1 - sel_i)
+        ox = _reduce_rows(sel_i * qi, QS)
+        oy = _reduce_rows(sel_i * qj, QS)
+        oz = _reduce_rows(sel_i * qk, QS)
         old_cell = (ox * N + oy) * N + oz
 
-        # Uniform unoccupied cell: first success of n_attempts draws.
+        # Uniform unoccupied cell: first success of n_attempts hashed draws.
         new_cell = old_cell  # degenerate fallback: self-rejection, P < 1e-12
         found = jnp.zeros_like(old_cell)
         for a in range(n_attempts):
-            w = pltpu.bitcast(
-                r[:, off + 2 + a:off + 3 + a], jnp.int32
-            ) & jnp.int32(0x7FFFFFFF)
-            cand = w % N3
-            free = 1 - occ_test(occ, cand)
+            w = prng.word_from_base(base, _A_SALT + np.int32(a))
+            cand = w % jnp.int32(N3)
+            free = 1 - occupied(occ, cand)
             take = (1 - found) * free
             new_cell = jnp.where(take == 1, cand, new_cell)
             found = jnp.maximum(found, free)
@@ -183,9 +216,8 @@ def _kernel(step0_ref, seed_ref, qi_ref, qj_ref, qk_ref, occ_ref,
         ny = (new_cell // N) % N
         nz = new_cell % N
 
-        old_conf = _conflicts(qi, qj, qk, ox, oy, oz, not_self)
-        new_conf = _conflicts(qi, qj, qk, nx, ny, nz, not_self)
-        d_e = new_conf - old_conf
+        d_e = (conflicts(qi, qj, qk, nx, ny, nz, not_self)
+               - conflicts(qi, qj, qk, ox, oy, oz, not_self))
 
         gstep_f = jnp.full((1, 1), 0, jnp.float32) + gstep.astype(jnp.float32)
         beta = spec.schedule(gstep_f)
@@ -193,26 +225,25 @@ def _kernel(step0_ref, seed_ref, qi_ref, qj_ref, qk_ref, occ_ref,
 
         done = st < spec.n_steps
         active = jnp.logical_and(~done, gstep < spec.n_steps)
-        upd = jnp.logical_and(
-            jnp.logical_and(accept, active), (found == 1)
-        )
+        upd = jnp.logical_and(jnp.logical_and(accept, active), found == 1)
 
-        sel_upd = jnp.logical_and(sel_q == 1, upd)
-        qi = jnp.where(sel_upd, nx, qi)
-        qj = jnp.where(sel_upd, ny, qj)
-        qk = jnp.where(sel_upd, nz, qk)
+        sel_upd = jnp.logical_and(sel, upd)
+        qi_o[:] = jnp.where(sel_upd, nx, qi)
+        qj_o[:] = jnp.where(sel_upd, ny, qj)
+        qk_o[:] = jnp.where(sel_upd, nz, qk)
 
-        # Occupancy bitfield flip: clear old bit, set new bit.
         updi = upd.astype(jnp.int32)
-        old_mask = jnp.where(lane_w == old_cell // 32, updi << (old_cell % 32), 0)
-        new_mask = jnp.where(lane_w == new_cell // 32, updi << (new_cell % 32), 0)
-        occ = (occ & ~old_mask) | new_mask
+        old_mask = jnp.where(iota_w == old_cell // 32,
+                             updi << (old_cell % 32), 0)
+        new_mask = jnp.where(iota_w == new_cell // 32,
+                             updi << (new_cell % 32), 0)
+        occ_o[:] = (occ & ~old_mask) | new_mask
 
         e = e + jnp.where(upd, d_e, 0)
         improved = jnp.logical_and(upd, e < be)
-        bqi = jnp.where(improved, qi, bqi)
-        bqj = jnp.where(improved, qj, bqj)
-        bqk = jnp.where(improved, qk, bqk)
+        bqi_o[:] = jnp.where(improved, qi_o[:], bqi_o[:])
+        bqj_o[:] = jnp.where(improved, qj_o[:], bqj_o[:])
+        bqk_o[:] = jnp.where(improved, qk_o[:], bqk_o[:])
         be = jnp.where(improved, e, be)
         bs = jnp.where(improved, gstep + 1, bs)
         ni = jnp.where(active, jnp.where(improved, 0, ni + 1), ni)
@@ -220,77 +251,123 @@ def _kernel(step0_ref, seed_ref, qi_ref, qj_ref, qk_ref, occ_ref,
             newly = jnp.logical_and(active, ni >= spec.early_stop_patience)
             st = jnp.where(newly, gstep, st)
 
-        bin_idx = jnp.minimum(gstep * spec.n_bins // spec.n_steps,
-                              spec.n_bins - 1)
-        one_hot = (bin_lanes == bin_idx).astype(jnp.int32)
         inc = active.astype(jnp.int32)
-        ab = ab + one_hot * (inc * accept.astype(jnp.int32))
-        tb = tb + one_hot * inc
+        acc_a = acc_a + inc * accept.astype(jnp.int32)
+        acc_t = acc_t + inc
+        return e, be, bs, ni, st, acc_a, acc_t
 
-        return (qi, qj, qk, occ, bqi, bqj, bqk, e, be, bs, ni, st, ab, tb)
-
-    unroll = 4  # one PRNG draw feeds this many sequential proposals
-    n_unrolled = n_inner // unroll
+    zrow = jnp.zeros((1, c_blk), jnp.int32)
+    n_groups = n_inner // _UNROLL
 
     def body(t, carry):
-        r = pltpu.prng_random_bits((c_blk, unroll * words_per_step))
-        gstep0 = step0_ref[0, 0] + t * unroll
-        for k in range(unroll):
-            carry = one_step(gstep0 + k, r, k * words_per_step, carry)
-        return carry
+        e, be, bs, ni, st, ab, tb = carry
+        g0 = step0 + t * _UNROLL
+        b0 = bin_of(g0)
+        b1 = bin_of(g0 + (_UNROLL - 1))
+        accs = (zrow, zrow, zrow, zrow)
+        inner = (e, be, bs, ni, st)
+        for k in range(_UNROLL):
+            gstep = g0 + k
+            second = bin_of(gstep) == b1
+            e, be, bs, ni, st, da, dt = one_step(gstep, (*inner, zrow, zrow))
+            inner = (e, be, bs, ni, st)
+            a0, a1, t0, t1 = accs
+            is2 = jnp.where(second, 1, 0)
+            accs = (a0 + da * (1 - is2), a1 + da * is2,
+                    t0 + dt * (1 - is2), t1 + dt * is2)
+        a0, a1, t0, t1 = accs
+        oh0 = (bin_iota == b0).astype(jnp.int32)
+        oh1 = (bin_iota == b1).astype(jnp.int32)
+        ab = ab + oh0 * a0 + oh1 * a1
+        tb = tb + oh0 * t0 + oh1 * t1
+        return (*inner, ab, tb)
 
-    out = (qi_ref[:], qj_ref[:], qk_ref[:], occ_ref[:], bqi_ref[:],
-           bqj_ref[:], bqk_ref[:], e_ref[:], be_ref[:], bs_ref[:], ni_ref[:],
-           st_ref[:], ab_ref[:], tb_ref[:])
-    out = lax.fori_loop(0, n_unrolled, body, out)
-    for k in range(n_inner - n_unrolled * unroll):
-        r = pltpu.prng_random_bits((c_blk, words_per_step))
-        gstep = step0_ref[0, 0] + n_unrolled * unroll + k
-        out = one_step(gstep, r, 0, out)
-    for ref, val in zip(
-        (qi_out, qj_out, qk_out, occ_out, bqi_out, bqj_out, bqk_out, e_out,
-         be_out, bs_out, ni_out, st_out, ab_out, tb_out),
-        out,
-    ):
-        ref[:] = val
+    carry = (e_in[:], be_in[:], bs_in[:], ni_in[:], st_in[:],
+             ab_in[:], tb_in[:])
+    carry = lax.fori_loop(0, n_groups, body, carry)
+    e, be, bs, ni, st, ab, tb = carry
+    for k in range(n_inner - n_groups * _UNROLL):
+        gstep = step0 + n_groups * _UNROLL + k
+        e, be, bs, ni, st, da, dt = one_step(
+            gstep, (e, be, bs, ni, st, zrow, zrow))
+        oh = (bin_iota == bin_of(gstep)).astype(jnp.int32)
+        ab = ab + oh * da
+        tb = tb + oh * dt
+    e_o[:] = e
+    be_o[:] = be
+    bs_o[:] = bs
+    ni_o[:] = ni
+    st_o[:] = st
+    ab_o[:] = ab
+    tb_o[:] = tb
+
+
+def _qs(Q: int) -> int:
+    return -(-Q // 8) * 8
+
+
+def _internal_state(carry: PallasFull3DCarry):
+    """(C, X)-major carry -> (X, C) padded internal planes."""
+    Q = carry.qi.shape[1]
+    QS = _qs(Q)
+    pad = QS - Q
+
+    def plane(x, fill):
+        t = x.T.astype(jnp.int32)
+        if pad:
+            t = jnp.concatenate(
+                [t, jnp.full((pad, t.shape[1]), fill, jnp.int32)], axis=0
+            )
+        return t
+
+    # Pad rows get sentinel coordinates (never equal to a real coordinate
+    # and never forming equal squared differences with cells in [0, N)).
+    s = 1 << 10
+    return (
+        plane(carry.qi, s), plane(carry.qj, 3 * s), plane(carry.qk, 7 * s),
+        carry.occ.T.astype(jnp.int32),
+        plane(carry.best_qi, s), plane(carry.best_qj, 3 * s),
+        plane(carry.best_qk, 7 * s),
+        carry.energy.T, carry.best_energy.T, carry.best_step.T,
+        carry.no_improve.T, carry.stop_step.T,
+        carry.accept_bins.T, carry.total_bins.T,
+    )
+
+
+def _external_carry(block_seeds, st, Q: int) -> PallasFull3DCarry:
+    qi, qj, qk, occ, bqi, bqj, bqk, e, be, bs, ni, stp, ab, tb = st
+    return PallasFull3DCarry(
+        block_seeds=block_seeds,
+        qi=qi[:Q].T, qj=qj[:Q].T, qk=qk[:Q].T, occ=occ.T,
+        best_qi=bqi[:Q].T, best_qj=bqj[:Q].T, best_qk=bqk[:Q].T,
+        energy=e.T, best_energy=be.T, best_step=bs.T,
+        no_improve=ni.T, stop_step=stp.T,
+        accept_bins=ab.T, total_bins=tb.T,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "n_inner"))
-def _run_block_segment(carry: PallasFull3DCarry, step0, spec: ChainSpec,
-                       n_inner: int) -> PallasFull3DCarry:
-    C, Q = carry.qi.shape
-    n_blocks = carry.block_seeds.shape[0]
+def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
+    QS, C = st[0].shape
+    n_blocks = block_seeds.shape[0]
     c_blk = C // n_blocks
     nb = spec.n_bins
-    n_words = carry.occ.shape[1]
+    n_words = st[3].shape[0]
 
-    def cs(shape):
-        return pl.BlockSpec(shape, lambda b: (b, 0), memory_space=pltpu.VMEM)
+    def cs(rows):
+        return pl.BlockSpec((rows, c_blk), lambda b: (0, b),
+                            memory_space=pltpu.VMEM)
 
-    state_shapes = [
-        ((c_blk, Q), jnp.int32),   # qi
-        ((c_blk, Q), jnp.int32),   # qj
-        ((c_blk, Q), jnp.int32),   # qk
-        ((c_blk, n_words), jnp.int32),  # occ
-        ((c_blk, Q), jnp.int32),   # best_qi
-        ((c_blk, Q), jnp.int32),   # best_qj
-        ((c_blk, Q), jnp.int32),   # best_qk
-        ((c_blk, 1), jnp.int32),   # energy
-        ((c_blk, 1), jnp.int32),   # best_energy
-        ((c_blk, 1), jnp.int32),   # best_step
-        ((c_blk, 1), jnp.int32),   # no_improve
-        ((c_blk, 1), jnp.int32),   # stop_step
-        ((c_blk, nb), jnp.int32),  # accept_bins
-        ((c_blk, nb), jnp.int32),  # total_bins
-    ]
+    state_specs = ([cs(QS)] * 3 + [cs(n_words)] + [cs(QS)] * 3
+                   + [cs(1)] * 5 + [cs(nb)] * 2)
+    rows_of = [QS] * 3 + [n_words] + [QS] * 3 + [1] * 5 + [nb] * 2
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_blocks, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
-    ] + [cs(shape) for shape, _ in state_shapes]
-    out_specs = tuple(cs(shape) for shape, _ in state_shapes)
+        pl.BlockSpec((n_blocks, 1), lambda b: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ] + state_specs
     out_shape = tuple(
-        jax.ShapeDtypeStruct((C,) + shape[1:], dtype)
-        for shape, dtype in state_shapes
+        jax.ShapeDtypeStruct((r, C), jnp.int32) for r in rows_of
     )
     step0_arr = (jnp.zeros((1, 1), jnp.int32) + step0).astype(jnp.int32)
 
@@ -298,18 +375,14 @@ def _run_block_segment(carry: PallasFull3DCarry, step0, spec: ChainSpec,
         functools.partial(_kernel, spec=spec, n_inner=n_inner),
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=tuple(state_specs),
         out_shape=out_shape,
-        input_output_aliases={i + 2: i for i in range(len(state_shapes))},
+        input_output_aliases={i + 2: i for i in range(len(rows_of))},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(step0_arr, carry.block_seeds, carry.qi, carry.qj, carry.qk, carry.occ,
-      carry.best_qi, carry.best_qj, carry.best_qk, carry.energy,
-      carry.best_energy, carry.best_step, carry.no_improve, carry.stop_step,
-      carry.accept_bins, carry.total_bins)
-
-    return PallasFull3DCarry(carry.block_seeds, *outs)
+    )(step0_arr, block_seeds, *st)
+    return tuple(outs)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
@@ -374,12 +447,16 @@ def init_carry_batch(seeds, spec: ChainSpec,
 def run_segment(carry: PallasFull3DCarry, start_outer, spec: ChainSpec,
                 n_outer: int):
     stride = spec.history_stride
+    st = _internal_state(carry)
+    block_seeds = carry.block_seeds
 
-    def chunk(c, outer_idx):
-        c = _run_block_segment(c, outer_idx * stride, spec, stride)
-        return c, c.energy[:, 0]
+    def chunk(s, outer_idx):
+        s = _run_block_segment(s, block_seeds, outer_idx * stride, spec,
+                               stride)
+        return s, s[7][0]  # energy row -> (C,)
 
-    return lax.scan(chunk, carry, start_outer + jnp.arange(n_outer))
+    st, ys = lax.scan(chunk, st, start_outer + jnp.arange(n_outer))
+    return _external_carry(block_seeds, st, spec.q_eff), ys
 
 
 @functools.cache

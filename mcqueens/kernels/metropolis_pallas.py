@@ -13,11 +13,14 @@ sampling loop on-chip:
     (:mod:`mcqueens.kernels.delta_e`) evaluated as ~30 fused int32 vector
     passes over the (C_blk, N^2) board — Mosaic exposes no per-lane
     gather/scatter, so the count-table trick is XLA-side only;
-  * proposals come from the hardware PRNG (``pltpu.prng_random_bits``),
-    seeded per (block, segment) — same Metropolis distribution as the
-    threefry-based jnp kernels, different stream (SURVEY §2.1: parity is
-    distribution-level, and the chain invariants are retested against the
-    oracle for this kernel);
+  * proposals come from a counter-based integer-hash PRNG
+    (:mod:`mcqueens.kernels.prng`) keyed by (block seed, chain row, step) —
+    same Metropolis distribution as the threefry-based jnp kernels,
+    different stream (SURVEY §2.1: parity is distribution-level, and the
+    chain invariants are retested against the oracle for this kernel).
+    Streams are bitwise identical on TPU and in interpret mode (round 2
+    finding: ``pltpu.prng_random_bits`` is stubbed to zeros when
+    interpreted, which silently voided round-1's CPU acceptance coverage);
   * all state buffers are input/output-aliased, so segments chain in place.
 
 Semantics match :mod:`mcqueens.chain.board` exactly (same proposal law,
@@ -38,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mcqueens.chain.spec import ChainSpec
 from mcqueens.core import tables as tables_mod
+from mcqueens.kernels import prng
 
 # Chains per VMEM block.  1 MB of board state at N=16; bigger blocks
 # amortize the per-step (C, 1) scalar ops.
@@ -82,23 +86,25 @@ def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
     NN = N * N
     c_blk = h_ref.shape[0]
 
-    pltpu.prng_seed(seed_ref[pl.program_id(0), 0], step0_ref[0, 0])
+    # Counter-based streams (kernels/prng.py): one key per (block, chain
+    # row), words drawn per step — bitwise identical on TPU and in interpret
+    # mode (pltpu.prng_random_bits is stubbed to zeros when interpreted).
+    row_iota = lax.broadcasted_iota(jnp.int32, (c_blk, 1), 0)
+    g = prng.chain_ids(seed_ref[pl.program_id(0), 0], row_iota)
 
     cell = lax.broadcasted_iota(jnp.int32, (c_blk, NN), 1)
     i_grid = cell // N
     j_grid = cell % N
     bin_lanes = lax.broadcasted_iota(jnp.int32, (1, spec.n_bins), 1)
 
-    def one_step(gstep, w0, w1, carry):
+    def one_step(gstep, carry):
         h, bh, e, be, bs, ni, st, ab, tb = carry
 
+        w0, w1 = prng.step_words(g, gstep)
         i = w0 % N
         j = (w0 // N) % N
         kr = (w0 // (N * N)) % (N - 1)
-        # 24-bit uniform in [0, 1)
-        u = ((w1 >> 7) & jnp.int32(0xFFFFFF)).astype(jnp.float32) * jnp.float32(
-            1.0 / (1 << 24)
-        )
+        u = prng.uniform01(w1)
 
         fij = i * N + j
         sel = cell == fij  # (c_blk, NN) one-hot of the chosen column
@@ -166,21 +172,12 @@ def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
 
         return h, bh, e, be, bs, ni, st, ab, tb
 
-    def words(r, k):
-        w0 = pltpu.bitcast(r[:, 2 * k:2 * k + 1], jnp.int32) & jnp.int32(
-            0x7FFFFFFF
-        )
-        w1 = pltpu.bitcast(r[:, 2 * k + 1:2 * k + 2], jnp.int32)
-        return w0, w1
-
     n_unrolled = n_inner // _UNROLL
 
     def body(t, carry):
-        # One PRNG draw feeds _UNROLL sequential proposals.
-        r = pltpu.prng_random_bits((c_blk, 2 * _UNROLL))
         gstep0 = step0_ref[0, 0] + t * _UNROLL
         for k in range(_UNROLL):
-            carry = one_step(gstep0 + k, *words(r, k), carry)
+            carry = one_step(gstep0 + k, carry)
         return carry
 
     carry = (h_ref[:], bh_ref[:], e_ref[:], be_ref[:], bs_ref[:], ni_ref[:],
@@ -188,9 +185,8 @@ def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
     carry = lax.fori_loop(0, n_unrolled, body, carry)
     # Remainder steps (n_inner not divisible by the unroll factor).
     for k in range(n_inner - n_unrolled * _UNROLL):
-        r = pltpu.prng_random_bits((c_blk, 2 * _UNROLL))
         gstep = step0_ref[0, 0] + n_unrolled * _UNROLL + k
-        carry = one_step(gstep, *words(r, 0), carry)
+        carry = one_step(gstep, carry)
     h, bh, e, be, bs, ni, st, ab, tb = carry
     h_out[:] = h
     bh_out[:] = bh

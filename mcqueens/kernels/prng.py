@@ -55,6 +55,23 @@ def chain_ids(block_seed, lane_iota):
     return block_seed * _CHAIN_K + lowbias32(lane_iota + block_seed)
 
 
+def step_base(g, step):
+    """Per-(chain, step) mixing base; feed to :func:`words_from_base`."""
+    return lowbias32(g ^ (step * _STEP_K))
+
+
+def words_from_base(base):
+    """(w0, w1) from a step base: w0 masked non-negative, w1 full 32 bits."""
+    w0 = lowbias32(base ^ _W0_K)
+    w1 = lowbias32(base + _W1_K)
+    return w0 & jnp.int32(0x7FFFFFFF), w1
+
+
+def word_from_base(base, salt):
+    """One extra 31-bit word per (base, salt) — e.g. rejection attempts."""
+    return lowbias32(base + salt) & jnp.int32(0x7FFFFFFF)
+
+
 def step_words(g, step):
     """Two independent 32-bit words for (chain stream g, step counter).
 
@@ -65,10 +82,7 @@ def step_words(g, step):
     Returns:
         (w0, w1): w0 is masked non-negative (31 bits), w1 full 32 bits.
     """
-    base = lowbias32(g ^ (step * _STEP_K))
-    w0 = lowbias32(base ^ _W0_K)
-    w1 = lowbias32(base + _W1_K)
-    return w0 & jnp.int32(0x7FFFFFFF), w1
+    return words_from_base(step_base(g, step))
 
 
 def uniform01(w):

@@ -10,12 +10,26 @@ counter-based, so a resumed run is bit-identical to an uninterrupted one.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def spec_fingerprint(spec, seeds) -> str:
+    """Digest of everything that defines a run's trajectory.
+
+    Two runs with the same carry *shapes* but different dynamics (beta range,
+    schedule kind, n_steps, kernel, seeds, ...) must not resume from each
+    other's checkpoints; shape checks alone cannot tell them apart.
+    """
+    h = hashlib.sha256()
+    h.update(repr(spec).encode())  # frozen dataclass: full param repr
+    h.update(np.ascontiguousarray(np.asarray(seeds)).tobytes())
+    return h.hexdigest()[:32]
 
 
 def _is_key(x) -> bool:
@@ -48,7 +62,7 @@ class Checkpointer:
         return os.path.join(self.directory, f"{self.tag}.npz")
 
     def save(self, carry, segments_done: int, history_chunks,
-             seg_outer: int = -1) -> None:
+             seg_outer: int = -1, fingerprint: str = "") -> None:
         if segments_done % self.every != 0:
             return
         payload = {f"carry_{name}": _to_numpy(val)
@@ -56,6 +70,7 @@ class Checkpointer:
                    if val is not None}
         payload["segments_done"] = np.asarray(segments_done)
         payload["seg_outer"] = np.asarray(seg_outer)
+        payload["fingerprint"] = np.asarray(fingerprint)
         payload["n_history_chunks"] = np.asarray(len(history_chunks))
         for idx, chunk in enumerate(history_chunks):
             payload[f"hist_{idx}"] = np.asarray(chunk)
@@ -68,20 +83,25 @@ class Checkpointer:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
-    def restore(self, template_carry, seg_outer: int = -1):
+    def restore(self, template_carry, seg_outer: int = -1,
+                fingerprint: str = ""):
         """Return (carry, segments_done, history_chunks) or None if absent.
 
         ``template_carry`` supplies the NamedTuple type and None-leaves.  A
-        checkpoint whose leaves don't match the template's shapes/dtypes (tag
-        reuse across a config change) or whose segmentation differs (resume
-        with a different segment size would misalign steps) is ignored rather
-        than loaded wrong.
+        checkpoint whose spec fingerprint doesn't match (tag reuse across a
+        config change — same shapes, different beta range/schedule/kernel/
+        seeds), whose leaves don't match the template's shapes/dtypes, or
+        whose segmentation differs (resume with a different segment size
+        would misalign steps) is ignored rather than loaded wrong.
         """
         if not os.path.exists(self.path):
             return None
         with np.load(self.path) as data:
             if "seg_outer" in data and int(data["seg_outer"]) != seg_outer:
                 return None
+            stored_fp = str(data["fingerprint"]) if "fingerprint" in data else ""
+            if stored_fp != fingerprint:
+                return None  # stale checkpoint from a different run config
             fields = {}
             for name, val in template_carry._asdict().items():
                 key = f"carry_{name}"

@@ -184,8 +184,14 @@ def test_acceptance_bins_account_for_all_steps():
 
 
 def test_board_chain_samples_boltzmann_distribution():
-    """N=2 board: 16 enumerable states; empirical energy law ~ e^{-beta E}."""
-    N, beta, n_steps = 2, 0.7, 20000
+    """N=3 board: 3^9 enumerable states; empirical energy law ~ e^{-beta E}.
+
+    N=3, not N=2: every N=2 board state has energy exactly 6, so the N=2
+    "test" of round 1 could not distinguish Boltzmann from uniform (or from
+    any sampler at all).  At N=3, beta=1.0 the two laws differ by 0.24 in
+    total-variation-ish max gap — asserted below so the test keeps its power.
+    """
+    N, beta, n_steps = 3, 1.0, 20000
     spec = _spec(
         N=N,
         n_steps=n_steps,
@@ -196,18 +202,24 @@ def test_board_chain_samples_boltzmann_distribution():
 
     # Exact energy distribution by enumeration.
     weights = {}
+    counts = {}
     for hs in itertools.product(range(N), repeat=N * N):
         h = np.array(hs).reshape(N, N)
         e = _oracle.board_energy(h)
         weights[e] = weights.get(e, 0.0) + np.exp(-beta * e)
+        counts[e] = counts.get(e, 0) + 1
     z = sum(weights.values())
     expect = {e: w / z for e, w in weights.items()}
 
     burn = 2000
     samples = res.energy_history[:, burn:].reshape(-1)
+    tol = 0.02
     for e, p in expect.items():
         emp = (samples == e).mean()
-        assert abs(emp - p) < 0.02, (e, emp, p)
+        assert abs(emp - p) < tol, (e, emp, p)
+    n_states = sum(counts.values())
+    gap = max(abs(counts[e] / n_states - expect[e]) for e in expect)
+    assert gap > 2 * tol, f"test lacks power vs uniform: gap {gap}"
 
 
 @pytest.mark.parametrize("kind,params", [

@@ -122,15 +122,17 @@ def test_pallas_full3d_klarner_init_zero_energy():
 
 
 def test_pallas_kernel_samples_boltzmann_distribution():
-    """N=2 enumerable board: the TPU-PRNG sampler obeys the e^{-beta E} law.
+    """N=3 enumerable board: the kernel's PRNG obeys the e^{-beta E} law.
 
     History is thinned (stride 50) — a subsampled stationary chain is still
     stationary, and one kernel launch per history point keeps interpret mode
-    affordable.
+    affordable.  N=3, not N=2: all N=2 states share energy 6, so Boltzmann
+    == uniform there and round-1's N=2 version could not detect the stubbed
+    interpret-mode PRNG (always-accept).  A power guard keeps this honest.
     """
     import itertools
 
-    N, beta, n_steps, stride = 2, 0.7, 10000, 50
+    N, beta, n_steps, stride = 3, 1.0, 10000, 50
     spec = _spec(
         N=N,
         n_steps=n_steps,
@@ -140,18 +142,24 @@ def test_pallas_kernel_samples_boltzmann_distribution():
     res = _run_pallas(spec, n_runs=24, base_seed=17)
 
     weights = {}
+    counts = {}
     for hs in itertools.product(range(N), repeat=N * N):
         h = np.array(hs).reshape(N, N)
         e = _oracle.board_energy(h)
         weights[e] = weights.get(e, 0.0) + np.exp(-beta * e)
+        counts[e] = counts.get(e, 0) + 1
     z = sum(weights.values())
 
     burn_points = 2000 // stride
     samples = res.energy_history[:, burn_points:].reshape(-1)
     assert samples.size >= 3000
+    tol = 0.03
     for e, w in weights.items():
         emp = (samples == e).mean()
-        assert abs(emp - w / z) < 0.03, (e, emp, w / z)
+        assert abs(emp - w / z) < tol, (e, emp, w / z)
+    n_states = sum(counts.values())
+    gap = max(abs(counts[e] / n_states - weights[e] / z) for e in weights)
+    assert gap > 2 * tol, f"test lacks power vs uniform: gap {gap}"
 
 
 def test_pallas_sharded_over_mesh_matches_unsharded():
