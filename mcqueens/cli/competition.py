@@ -31,7 +31,11 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--early-stop-patience", type=int, default=None)
     parser.add_argument("--kernel", default="tables",
-                        choices=("tables", "naive", "pallas"))
+                        choices=("tables", "naive", "pallas",
+                                 "pallas_shared"),
+                        help="pallas_shared: the >=1e9 moves/s throughput "
+                             "kernel (shared proposal sites per chain "
+                             "block — ideal for best-board search)")
     parser.add_argument("--history-stride", type=int, default=None,
                         help="default: full history for <=64 runs, thinned above")
     parser.add_argument("--mesh", action="store_true")
@@ -50,7 +54,7 @@ def main(argv=None) -> int:
 
     stride = args.history_stride
     if stride is None:
-        if args.kernel == "pallas":
+        if args.kernel in ("pallas", "pallas_shared"):
             # one kernel launch per history point: keep chunks big
             stride = max(1, args.n_steps // 1024)
         else:
