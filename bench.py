@@ -12,10 +12,11 @@ Prints exactly one JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 vs_baseline is measured throughput / 1e9 — the BASELINE.json north-star for a
-*nominal* v5e.  Note (measured, see tests/ and SURVEY): this host's "axon"
-TPU tunnel delivers ~50 GB/s effective HBM bandwidth (~1/16 of nominal v5e)
-and ~60 ns latency per VPU register op, which caps any exact per-move
-Metropolis at O(1e8) moves/s here; the reference CPU loop runs O(1e4)/core.
+*nominal* v5e.  Round 1's "~50 GB/s tunnel caps this host at O(1e8)" claim
+was a dispatch artifact (numpy args re-uploaded per call); with
+device-resident state this kernel sustains >= 1e9 moves/s/chip here (see
+docs/DESIGN.md section 4 and tools/roofline.py for the measured envelope).
+The reference CPU loop runs ~6.2e3 moves/s/core on comparable hardware.
 """
 
 import argparse

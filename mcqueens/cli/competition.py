@@ -38,6 +38,13 @@ def main(argv=None) -> int:
                              "block — ideal for best-board search)")
     parser.add_argument("--history-stride", type=int, default=None,
                         help="default: full history for <=64 runs, thinned above")
+    parser.add_argument("--tempering", type=int, default=0, metavar="L",
+                        help="parallel tempering with an L-level geometric "
+                             "beta ladder spanning [beta-start, beta-end] "
+                             "(constant in time; replica exchange every "
+                             "history-stride steps).  Requires "
+                             "--kernel pallas_shared.  Chain c sits at "
+                             "ladder level c %% L.")
     parser.add_argument("--mesh", action="store_true")
     parser.add_argument("--outdir", default=".")
     parser.add_argument("--resume-from", default=None, metavar="BOARD_TXT",
@@ -68,6 +75,41 @@ def main(argv=None) -> int:
                 i, j, k = (int(x) for x in line.strip().split(","))
                 board[i, j] = k
         initial_states = np.repeat(board[None], args.n_runs, axis=0)
+
+    if args.tempering:
+        from mcqueens.chain.spec import ChainSpec
+        from mcqueens.search import tempering as tempering_mod
+
+        if args.kernel != "pallas_shared":
+            parser.error("--tempering requires --kernel pallas_shared")
+        spec = ChainSpec(
+            N=args.n, n_steps=args.n_steps,
+            schedule=build_schedule("constant", args.n_steps,
+                                    beta_const=1.0),
+            init_mode=args.init_mode, mcmc_type="board",
+            history_stride=stride, kernel=args.kernel,
+        )
+        ladder = tempering_mod.geometric_ladder(
+            args.beta_start, args.beta_end, args.tempering)
+        out = tempering_mod.run_tempered(
+            args.seed + np.arange(args.n_runs, dtype=np.uint32), spec,
+            ladder, swap_seed=args.seed, initial_states=initial_states,
+            verbose=True,
+        )
+        order = np.argsort(out["best_energy"], kind="stable")
+        shown = [int(out["best_energy"][r]) for r in order[:20]]
+        print(f"Best energies: {shown}{' ...' if args.n_runs > 20 else ''}")
+        if args.n_runs > 20:
+            print(f"(over {args.n_runs} runs: min "
+                  f"{int(out['best_energy'].min())}, "
+                  f"mean {out['best_energy'].mean():.1f})")
+        best = out["best_state"][order[0]]
+        print(best)
+        print(f"{out['proposals']:.3e} proposals in {out['wall_time']:.1f}s "
+              f"= {out['proposals'] / max(out['wall_time'], 1e-9):.3e} "
+              f"moves/s")
+        _export(args, best)
+        return 0
 
     schedule = build_schedule(
         "linear_annealing", args.n_steps,
@@ -106,6 +148,13 @@ def main(argv=None) -> int:
     print(best)
     print(profiling.throughput_of(res))
 
+    _export(args, best)
+    return 0
+
+
+def _export(args, best) -> None:
+    """Write the winning board in the reference's i,j,k format
+    (``competition.py:181-187``)."""
     out_dir = os.path.join(args.outdir, "competition_results")
     os.makedirs(out_dir, exist_ok=True)
     ts = time.strftime("%Y%m%d_%H%M")
@@ -115,7 +164,6 @@ def main(argv=None) -> int:
             for j in range(args.n):
                 f.write(f"{i},{j},{best[i, j]}\n")
     print(f"wrote {path}")
-    return 0
 
 
 if __name__ == "__main__":

@@ -137,14 +137,16 @@ def _internal_state(carry: PallasBoardCarry, N: int):
         carry.energy.T, carry.best_energy.T, carry.best_step.T,
         carry.no_improve.T, carry.stop_step.T,
         carry.accept_bins.T, carry.total_bins.T,
+        carry.chain_seeds.T.astype(jnp.int32),
     )
 
 
 def _external_carry(block_seeds, st, N: int) -> PallasBoardCarry:
     inv_r = _layout_maps(N)[5]
-    r, _, _, _, bh, e, be, bs, ni, stp, ab, tb = st
+    r, _, _, _, bh, e, be, bs, ni, stp, ab, tb, cs = st
     return PallasBoardCarry(
         block_seeds=block_seeds,
+        chain_seeds=cs.T,
         heights=jnp.take(r, inv_r, axis=0).T,
         best_heights=jnp.take(bh, inv_r, axis=0).T,
         energy=e.T, best_energy=be.T, best_step=bs.T,
@@ -153,11 +155,16 @@ def _external_carry(block_seeds, st, N: int) -> PallasBoardCarry:
     )
 
 
-def _kernel(step0_ref, seed_ref, r_in, c_in, sk_in, ak_in, bh_in,
-            e_in, be_in, bs_in, ni_in, st_in, ab_in, tb_in,
-            r_o, c_o, sk_o, ak_o, bh_o,
-            e_o, be_o, bs_o, ni_o, st_o, ab_o, tb_o,
-            *, spec: ChainSpec, n_inner: int):
+def _kernel(step0_ref, seed_ref, cs_in, *refs,
+            spec: ChainSpec, n_inner: int, tempered: bool = False):
+    if tempered:
+        # Per-chain beta scale row (parallel tempering): effective beta for a
+        # chain is spec.schedule(step) * beta_scale[chain].
+        beta_in, *refs = refs
+    (r_in, c_in, sk_in, ak_in, bh_in,
+     e_in, be_in, bs_in, ni_in, st_in, ab_in, tb_in,
+     r_o, c_o, sk_o, ak_o, bh_o,
+     e_o, be_o, bs_o, ni_o, st_o, ab_o, tb_o) = refs
     N = spec.N
     SN = _sn(N)
     c_blk = r_in.shape[1]
@@ -165,9 +172,11 @@ def _kernel(step0_ref, seed_ref, r_in, c_in, sk_in, ak_in, bh_in,
 
     seed = seed_ref[pl.program_id(0), 0]
     step0 = step0_ref[0, 0]
+    beta_scale = beta_in[:] if tempered else None
+    # The shared SITE stream is block-keyed by design; per-chain draws
+    # (new_k, accept) are keyed by each chain's own seed (layout-free).
     site_base = seed * jnp.int32(0x2545F491) + _SITE_SALT
-    lane_iota = lax.broadcasted_iota(jnp.int32, (1, c_blk), 1)
-    g = prng.chain_ids(seed, lane_iota)
+    g = prng.chain_streams(cs_in[:])
 
     # Mutate the output refs in place (input refs are read-only).
     r_o[:] = r_in[:]
@@ -243,6 +252,8 @@ def _kernel(step0_ref, seed_ref, r_in, c_in, sk_in, ak_in, bh_in,
 
         gstep_f = jnp.full((1, 1), 0, jnp.float32) + gstep.astype(jnp.float32)
         beta = spec.schedule(gstep_f)
+        if beta_scale is not None:
+            beta = beta * beta_scale
         accept = u < jnp.exp(-beta * d_e.astype(jnp.float32))
 
         done = st < spec.n_steps
@@ -330,13 +341,18 @@ def _kernel(step0_ref, seed_ref, r_in, c_in, sk_in, ak_in, bh_in,
     tb_o[:] = tb
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "n_inner"))
-def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
-    """One pallas_call advancing every block by n_inner steps (internal state)."""
+def _block_segment_call(st, block_seeds, step0, spec: ChainSpec,
+                        n_inner: int, beta_row=None):
+    """One pallas_call advancing every block by n_inner steps (internal state).
+
+    ``beta_row`` — optional (1, C) float32 per-chain beta scale (parallel
+    tempering); effective beta = spec.schedule(step) * beta_row[chain].
+    """
     S, C = st[0].shape
     n_blocks = block_seeds.shape[0]
     c_blk = C // n_blocks
     nb = spec.n_bins
+    tempered = beta_row is not None
 
     def chain_spec_(rows):
         return pl.BlockSpec((rows, c_blk), lambda b: (0, b),
@@ -345,11 +361,13 @@ def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
     big = [chain_spec_(S)] * 5
     rows = [chain_spec_(1)] * 5
     bins = [chain_spec_(nb)] * 2
+    beta_specs = [chain_spec_(1)] if tempered else []
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((n_blocks, 1), lambda b: (0, 0),
                      memory_space=pltpu.SMEM),
-        *big, *rows, *bins,
+        chain_spec_(1),  # chain_seeds row (read-only)
+        *beta_specs, *big, *rows, *bins,
     ]
     out_specs = tuple(big + rows + bins)
     out_shapes = tuple(
@@ -358,19 +376,27 @@ def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
         + [jax.ShapeDtypeStruct((nb, C), jnp.int32)] * 2
     )
     step0_arr = (jnp.zeros((1, 1), jnp.int32) + step0).astype(jnp.int32)
+    beta_args = (beta_row,) if tempered else ()
+    n_state_in = 3 + (1 if tempered else 0)
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, spec=spec, n_inner=n_inner),
+        functools.partial(_kernel, spec=spec, n_inner=n_inner,
+                          tempered=tempered),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        input_output_aliases={i + 2: i for i in range(12)},
+        input_output_aliases={i + n_state_in: i for i in range(12)},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(step0_arr, block_seeds, *st)
-    return tuple(outs)
+    )(step0_arr, block_seeds, st[12], *beta_args, *st[:12])
+    return tuple(outs) + (st[12],)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_inner"))
+def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
+    return _block_segment_call(st, block_seeds, step0, spec, n_inner)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
@@ -413,6 +439,7 @@ def init_carry_batch(seeds, spec: ChainSpec,
     zeros = jnp.zeros((C, 1), jnp.int32)
     return PallasBoardCarry(
         block_seeds=block_seeds,
+        chain_seeds=seeds.astype(jnp.int32)[:, None],
         heights=heights,
         best_heights=heights,
         energy=e0,
@@ -442,6 +469,31 @@ def run_segment(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
         s = _run_block_segment(s, block_seeds, outer_idx * stride, spec,
                                stride)
         return s, s[5][0]  # energy row -> (C,)
+
+    st, ys = lax.scan(chunk, st, start_outer + jnp.arange(n_outer))
+    return _external_carry(block_seeds, st, spec.N), ys
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_outer"))
+def run_segment_tempered(carry: PallasBoardCarry, beta_scale, start_outer,
+                         spec: ChainSpec, n_outer: int):
+    """:func:`run_segment` with a per-chain beta scale (parallel tempering).
+
+    ``beta_scale`` is a (C,) float32 array; each chain samples at
+    ``spec.schedule(step) * beta_scale[chain]``.  With a constant-1 schedule
+    this is plain parallel tempering at the ladder values; with an annealing
+    schedule the whole ladder anneals together.  Exchange moves between
+    segments live in :mod:`mcqueens.search.tempering`.
+    """
+    stride = spec.history_stride
+    st = _internal_state(carry, spec.N)
+    block_seeds = carry.block_seeds
+    beta_row = jnp.asarray(beta_scale, jnp.float32).reshape(1, -1)
+
+    def chunk(s, outer_idx):
+        s = _block_segment_call(s, block_seeds, outer_idx * stride, spec,
+                                stride, beta_row=beta_row)
+        return s, s[5][0]
 
     st, ys = lax.scan(chunk, st, start_outer + jnp.arange(n_outer))
     return _external_carry(block_seeds, st, spec.N), ys

@@ -58,7 +58,8 @@ _A_SALT = np.int32(0x3C6EF372)  # attempt-word stream offset
 class PallasFull3DCarry(NamedTuple):
     """Per-chain sampler state between kernel segments (chains-major)."""
 
-    block_seeds: jax.Array  # (n_blocks, 1) int32
+    block_seeds: jax.Array   # (n_blocks, 1) int32
+    chain_seeds: jax.Array   # (C, 1) int32: per-chain stream seeds
     qi: jax.Array           # (C, Q) int32
     qj: jax.Array           # (C, Q) int32
     qk: jax.Array           # (C, Q) int32
@@ -124,7 +125,7 @@ def _reduce_rows(x, S):
     return acc[0:1, :] + acc[1:2, :]
 
 
-def _kernel(step0_ref, seed_ref, qi_in, qj_in, qk_in, occ_in,
+def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, occ_in,
             bqi_in, bqj_in, bqk_in, e_in, be_in, bs_in, ni_in, st_in,
             ab_in, tb_in,
             qi_o, qj_o, qk_o, occ_o, bqi_o, bqj_o, bqk_o,
@@ -139,10 +140,10 @@ def _kernel(step0_ref, seed_ref, qi_in, qj_in, qk_in, occ_in,
     n_attempts = _attempts(N, Q)
     nb = spec.n_bins
 
-    seed = seed_ref[pl.program_id(0), 0]
     step0 = step0_ref[0, 0]
-    lane_iota = lax.broadcasted_iota(jnp.int32, (1, c_blk), 1)
-    g = prng.chain_ids(seed, lane_iota)
+    # Per-chain streams keyed by each chain's own seed — independent of
+    # block size and mesh layout (prng.chain_streams).
+    g = prng.chain_streams(cs_ref[:])
 
     qi_o[:] = qi_in[:]
     qj_o[:] = qj_in[:]
@@ -331,13 +332,15 @@ def _internal_state(carry: PallasFull3DCarry):
         carry.energy.T, carry.best_energy.T, carry.best_step.T,
         carry.no_improve.T, carry.stop_step.T,
         carry.accept_bins.T, carry.total_bins.T,
+        carry.chain_seeds.T.astype(jnp.int32),
     )
 
 
 def _external_carry(block_seeds, st, Q: int) -> PallasFull3DCarry:
-    qi, qj, qk, occ, bqi, bqj, bqk, e, be, bs, ni, stp, ab, tb = st
+    qi, qj, qk, occ, bqi, bqj, bqk, e, be, bs, ni, stp, ab, tb, cs = st
     return PallasFull3DCarry(
         block_seeds=block_seeds,
+        chain_seeds=cs.T,
         qi=qi[:Q].T, qj=qj[:Q].T, qk=qk[:Q].T, occ=occ.T,
         best_qi=bqi[:Q].T, best_qj=bqj[:Q].T, best_qk=bqk[:Q].T,
         energy=e.T, best_energy=be.T, best_step=bs.T,
@@ -363,8 +366,7 @@ def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
     rows_of = [QS] * 3 + [n_words] + [QS] * 3 + [1] * 5 + [nb] * 2
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_blocks, 1), lambda b: (0, 0),
-                     memory_space=pltpu.SMEM),
+        cs(1),  # chain_seeds row (read-only)
     ] + state_specs
     out_shape = tuple(
         jax.ShapeDtypeStruct((r, C), jnp.int32) for r in rows_of
@@ -381,8 +383,8 @@ def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(step0_arr, block_seeds, *st)
-    return tuple(outs)
+    )(step0_arr, st[14], *st[:14])
+    return tuple(outs) + (st[14],)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
@@ -433,6 +435,7 @@ def init_carry_batch(seeds, spec: ChainSpec,
     zeros = jnp.zeros((C, 1), jnp.int32)
     return PallasFull3DCarry(
         block_seeds=block_seeds,
+        chain_seeds=seeds.astype(jnp.int32)[:, None],
         qi=qi, qj=qj, qk=qk, occ=occ,
         best_qi=qi, best_qj=qj, best_qk=qk,
         energy=e0, best_energy=e0,

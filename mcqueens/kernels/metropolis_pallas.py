@@ -14,7 +14,9 @@ sampling loop on-chip:
     passes over the (C_blk, N^2) board — Mosaic exposes no per-lane
     gather/scatter, so the count-table trick is XLA-side only;
   * proposals come from a counter-based integer-hash PRNG
-    (:mod:`mcqueens.kernels.prng`) keyed by (block seed, chain row, step) —
+    (:mod:`mcqueens.kernels.prng`) keyed by (chain seed, step) — a chain's
+    stream is a function of its own seed, independent of block size and mesh
+    layout (same contract as the threefry kernels' ``fold_in(seed)``) —
     same Metropolis distribution as the threefry-based jnp kernels,
     different stream (SURVEY §2.1: parity is distribution-level, and the
     chain invariants are retested against the oracle for this kernel).
@@ -53,6 +55,7 @@ class PallasBoardCarry(NamedTuple):
     """Sampler state between kernel segments (chains padded to the block)."""
 
     block_seeds: jax.Array   # (n_blocks, 1) int32: per-block PRNG seed base
+    chain_seeds: jax.Array   # (C, 1) int32: per-chain stream seeds
     heights: jax.Array       # (C, N*N) int32
     best_heights: jax.Array  # (C, N*N) int32
     energy: jax.Array        # (C, 1) int32
@@ -78,7 +81,7 @@ def padded_chains(n_chains: int) -> int:
 _UNROLL = 4  # sub-steps per fori iteration: amortizes the PRNG call (~+17%)
 
 
-def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
+def _kernel(step0_ref, cs_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
             ni_ref, st_ref, ab_ref, tb_ref,
             h_out, bh_out, e_out, be_out, bs_out, ni_out, st_out,
             ab_out, tb_out, *, spec: ChainSpec, n_inner: int):
@@ -86,11 +89,11 @@ def _kernel(step0_ref, seed_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
     NN = N * N
     c_blk = h_ref.shape[0]
 
-    # Counter-based streams (kernels/prng.py): one key per (block, chain
-    # row), words drawn per step — bitwise identical on TPU and in interpret
-    # mode (pltpu.prng_random_bits is stubbed to zeros when interpreted).
-    row_iota = lax.broadcasted_iota(jnp.int32, (c_blk, 1), 0)
-    g = prng.chain_ids(seed_ref[pl.program_id(0), 0], row_iota)
+    # Counter-based streams (kernels/prng.py): one key per chain SEED (not
+    # block/lane position), words drawn per step — bitwise identical on TPU
+    # and in interpret mode, and independent of block size / mesh layout
+    # (pltpu.prng_random_bits is stubbed to zeros when interpreted).
+    g = prng.chain_streams(cs_ref[:])
 
     cell = lax.broadcasted_iota(jnp.int32, (c_blk, NN), 1)
     i_grid = cell // N
@@ -213,9 +216,7 @@ def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
 
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),  # step0
-        # all block seeds (indexed by program_id in the kernel; sub-array
-        # SMEM blocks hit Mosaic's divisibility constraint)
-        pl.BlockSpec((n_blocks, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        chain_spec_((c_blk, 1)),       # chain_seeds (read-only)
         chain_spec_((c_blk, NN)),      # heights
         chain_spec_((c_blk, NN)),      # best_heights
         chain_spec_((c_blk, 1)),       # energy
@@ -254,11 +255,11 @@ def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(step0_arr, carry.block_seeds, carry.heights, carry.best_heights,
+    )(step0_arr, carry.chain_seeds, carry.heights, carry.best_heights,
       carry.energy, carry.best_energy, carry.best_step, carry.no_improve,
       carry.stop_step, carry.accept_bins, carry.total_bins)
 
-    return PallasBoardCarry(carry.block_seeds, *outs)
+    return PallasBoardCarry(carry.block_seeds, carry.chain_seeds, *outs)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
@@ -269,10 +270,10 @@ def init_carry_batch(seeds, spec: ChainSpec,
 
     Board initialization uses the batched hash initializers
     (:mod:`mcqueens.core.fastinit` — same distributions as the threefry path,
-    compiles instantly); the in-kernel PRNG stream is seeded per (block,
-    segment) from the first chain seed.  ``block`` overrides the VMEM block
-    size (mesh runs pick one device's chain share so shards hold whole
-    blocks).
+    compiles instantly); each chain's in-kernel PRNG stream is keyed by its
+    own seed (``prng.chain_streams``), so trajectories are independent of the
+    block size chosen here.  ``block`` overrides the VMEM block size (mesh
+    runs pick one device's chain share so shards hold whole blocks).
     """
     seeds = jnp.asarray(seeds, jnp.uint32)
     C0 = seeds.shape[0]
@@ -306,6 +307,7 @@ def init_carry_batch(seeds, spec: ChainSpec,
     zeros = jnp.zeros((C, 1), jnp.int32)
     return PallasBoardCarry(
         block_seeds=block_seeds,
+        chain_seeds=seeds.astype(jnp.int32)[:, None],
         heights=heights,
         best_heights=heights,
         energy=e0,

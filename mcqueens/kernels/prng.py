@@ -51,8 +51,25 @@ def lowbias32(z):
 
 
 def chain_ids(block_seed, lane_iota):
-    """Per-chain stream key from a scalar block seed and a lane iota array."""
+    """Per-chain stream key from a scalar block seed and a lane iota array.
+
+    Layout-DEPENDENT (the stream is tied to the chain's block/lane position):
+    only for draws that are shared or block-keyed by design, e.g. the
+    shared-site streams of :mod:`mcqueens.kernels.board_shared`.  Per-chain
+    proposal/accept draws must use :func:`chain_streams` instead.
+    """
     return block_seed * _CHAIN_K + lowbias32(lane_iota + block_seed)
+
+
+def chain_streams(seeds):
+    """Per-chain stream keys from the chains' own integer seeds.
+
+    Independent of block size, mesh layout, and batch composition — the same
+    contract the threefry kernels get from ``fold_in(seed)`` (SURVEY §5.2):
+    a chain's trajectory is a function of its seed alone.
+    """
+    s = seeds.astype(jnp.int32)
+    return s * _CHAIN_K + lowbias32(s)
 
 
 def step_base(g, step):

@@ -231,6 +231,32 @@ def test_experiment_with_pallas_kernel(tmp_path):
     assert df_path.exists()
 
 
+def test_competition_tempering_cli(tmp_path):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mcqueens.cli import competition
+
+    with pltpu.force_tpu_interpret_mode():
+        rc = competition.main([
+            "--n", "5", "--n-runs", "8", "--n-steps", "200",
+            "--kernel", "pallas_shared", "--tempering", "4",
+            "--beta-start", "0.5", "--beta-end", "3.0",
+            "--history-stride", "50", "--outdir", str(tmp_path),
+        ])
+    assert rc == 0
+    files = list((tmp_path / "competition_results").glob("*.txt"))
+    assert len(files) == 1
+    # tempering requires the shared-site kernel
+    import pytest
+
+    with pytest.raises(SystemExit):
+        competition.main([
+            "--n", "5", "--n-runs", "8", "--n-steps", "200",
+            "--kernel", "tables", "--tempering", "4",
+            "--outdir", str(tmp_path),
+        ])
+
+
 def test_competition_resume_from_exported_board(tmp_path):
     from mcqueens.cli import competition
 

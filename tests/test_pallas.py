@@ -163,7 +163,13 @@ def test_pallas_kernel_samples_boltzmann_distribution():
 
 
 def test_pallas_sharded_over_mesh_matches_unsharded():
-    """Pallas kernel under shard_map on the 8-device CPU mesh."""
+    """Pallas kernel under shard_map on the 8-device CPU mesh.
+
+    The mesh run uses a different block layout (one device's share per
+    block) than the unsharded run — streams are keyed by each chain's own
+    seed (prng.chain_streams), so results must be bitwise identical anyway
+    (CLAUDE.md invariant: mesh layout must not change results).
+    """
     import jax
 
     from mcqueens.dist import mesh as mesh_mod
@@ -175,9 +181,31 @@ def test_pallas_sharded_over_mesh_matches_unsharded():
         plain = runner.run_chains(seeds, spec)
         sharded = runner.run_chains(seeds, spec, mesh=mesh)
     assert sharded.n_runs == plain.n_runs
-    # Same block size => same (block, lane) PRNG layout => identical streams.
     np.testing.assert_array_equal(plain.energy_history, sharded.energy_history)
     np.testing.assert_array_equal(plain.best_energy, sharded.best_energy)
+
+
+@pytest.mark.parametrize("mcmc_type", ["board", "full_3d"])
+def test_pallas_block_layout_invariance(mcmc_type):
+    """Explicitly different VMEM block sizes give identical trajectories.
+
+    Chain streams are keyed by the chain's seed, not its (block, lane)
+    position, so regrouping chains into different block sizes must not
+    change any trajectory — the property that makes mesh sharding exact.
+    """
+    from mcqueens.kernels import full3d_pallas, metropolis_pallas
+
+    mod = metropolis_pallas if mcmc_type == "board" else full3d_pallas
+    spec = _spec(mcmc_type=mcmc_type, n_steps=100, history_stride=50)
+    seeds = np.arange(16, dtype=np.uint32)
+    with pltpu.force_tpu_interpret_mode():
+        a = mod.init_carry_batch(seeds, spec, block=8)
+        a, ys_a = mod.run_segment(a, np.int32(0), spec, 2)
+        b = mod.init_carry_batch(seeds, spec, block=16)
+        b, ys_b = mod.run_segment(b, np.int32(0), spec, 2)
+    np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
+    np.testing.assert_array_equal(
+        np.asarray(a.best_energy), np.asarray(b.best_energy))
 
 
 def test_pallas_warm_start_from_explicit_heights():

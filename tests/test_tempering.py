@@ -1,0 +1,195 @@
+"""Parallel tempering tests: exchange rule, invariants, per-level marginals.
+
+The tempered sampler must (a) leave each group's beta multiset invariant,
+(b) keep the kernels' incremental energies exact, and (c) leave each ladder
+level's marginal distribution Boltzmann at that level's beta — the defining
+property of replica exchange (states swap temperature without corrupting
+either level's law).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from mcqueens.chain.spec import ChainSpec
+from mcqueens.core.schedules import build_schedule
+from mcqueens.search import tempering
+from tests import _oracle
+
+
+def _spec(**kw):
+    defaults = dict(
+        N=5,
+        n_steps=400,
+        schedule=build_schedule("constant", 400, beta_const=1.0),
+        init_mode="random",
+        mcmc_type="board",
+        kernel="pallas_shared",
+        history_stride=50,
+    )
+    defaults.update(kw)
+    return ChainSpec(**defaults)
+
+
+def test_geometric_ladder():
+    lad = tempering.geometric_ladder(0.5, 4.0, 4)
+    assert lad[0] == pytest.approx(0.5) and lad[-1] == pytest.approx(4.0)
+    ratios = lad[1:] / lad[:-1]
+    np.testing.assert_allclose(ratios, ratios[0], rtol=1e-5)
+    with pytest.raises(ValueError):
+        tempering.geometric_ladder(2.0, 1.0, 4)
+    with pytest.raises(ValueError):
+        tempering.geometric_ladder(1.0, 2.0, 1)
+
+
+def test_exchange_certain_and_impossible_swaps():
+    """Deterministic limits of min(1, exp(dbeta * dE)).
+
+    Pair (level0, level1) with beta 0.1 vs 10: if E_cold << E_hot the swap
+    is certain (log A huge positive); if E_cold >> E_hot it is essentially
+    impossible (log A = -990 < log u for any float u > 0).
+    """
+    betas = jnp.asarray([0.1, 10.0, 0.1, 10.0], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    # (beta0 - beta1)(E0 - E1) = (-9.9)(-100) >> 0 -> certain swap
+    e_swap = jnp.asarray([0.0, 100.0, 0.0, 100.0], jnp.float32)
+    out = tempering.exchange(betas, e_swap, key, 2, 0)
+    np.testing.assert_allclose(np.asarray(out), [10.0, 0.1, 10.0, 0.1])
+    # (beta0 - beta1)(E0 - E1) = (-9.9)(100) = -990 -> never swaps
+    e_stay = jnp.asarray([100.0, 0.0, 100.0, 0.0], jnp.float32)
+    out = tempering.exchange(betas, e_stay, key, 2, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(betas))
+
+
+def test_exchange_phase_pairs_and_tail():
+    """Phase 1 pairs levels (1,2); level 0 and tail chains never move."""
+    betas = jnp.asarray([1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 7.0], jnp.float32)
+    e = jnp.asarray([0.0, 100.0, 0.0, 0.0, 100.0, 0.0, 5.0], jnp.float32)
+    key = jax.random.PRNGKey(1)
+    out = np.asarray(tempering.exchange(betas, e, key, 3, 1))
+    # (b1-b2)(E1-E2) = (-1)(100) = -100 -> no swap
+    np.testing.assert_allclose(out, np.asarray(betas))
+    e = jnp.asarray([0.0, 0.0, 100.0, 0.0, 0.0, 100.0, 5.0], jnp.float32)
+    out = np.asarray(tempering.exchange(betas, e, key, 3, 1))
+    # (b1-b2)(E1-E2) = (-1)(-100) -> certain swap of levels 1 and 2
+    np.testing.assert_allclose(out, [1.0, 3.0, 2.0, 1.0, 3.0, 2.0, 7.0])
+
+
+def test_exchange_preserves_group_multisets():
+    rng = np.random.default_rng(3)
+    n_levels, groups = 5, 7
+    ladder = tempering.geometric_ladder(0.2, 5.0, n_levels)
+    betas = jnp.asarray(np.tile(ladder, groups))
+    key = jax.random.PRNGKey(9)
+    for r in range(20):
+        e = jnp.asarray(rng.integers(0, 60, betas.shape[0]), jnp.float32)
+        key, sub = jax.random.split(key)
+        betas = tempering.exchange(betas, e, sub, n_levels, r % 2)
+    b = np.asarray(betas).reshape(groups, n_levels)
+    for g in range(groups):
+        np.testing.assert_allclose(np.sort(b[g]), np.sort(ladder))
+
+
+def test_tempered_run_energy_invariants():
+    spec = _spec(n_steps=300, history_stride=50)
+    ladder = tempering.geometric_ladder(0.3, 3.0, 4)
+    with pltpu.force_tpu_interpret_mode():
+        out = tempering.run_tempered(
+            np.arange(8, dtype=np.uint32), spec, ladder, record_betas=True)
+    for r in range(8):
+        assert out["final_energy"][r] == _oracle.board_energy(
+            out["final_state"][r])
+        assert out["best_energy"][r] == _oracle.board_energy(
+            out["best_state"][r])
+        assert out["best_energy"][r] <= out["energy_history"][r].min()
+    # Ladder multiset preserved within each complete group of real chains.
+    b = out["betas"].reshape(2, 4)
+    for g in range(2):
+        np.testing.assert_allclose(np.sort(b[g]), np.sort(ladder))
+    assert out["betas_history"].shape == (spec.n_outer, 8)
+    np.testing.assert_allclose(out["betas_history"][0], np.tile(ladder, 2))
+
+
+def test_tempered_run_deterministic():
+    spec = _spec(n_steps=200, history_stride=50)
+    ladder = tempering.geometric_ladder(0.5, 2.0, 2)
+    seeds = np.arange(4, dtype=np.uint32)
+    with pltpu.force_tpu_interpret_mode():
+        a = tempering.run_tempered(seeds, spec, ladder, swap_seed=5)
+        b = tempering.run_tempered(seeds, spec, ladder, swap_seed=5)
+    np.testing.assert_array_equal(a["energy_history"], b["energy_history"])
+    np.testing.assert_array_equal(a["betas"], b["betas"])
+    np.testing.assert_array_equal(a["final_state"], b["final_state"])
+
+
+def test_tempered_rejects_other_kernels():
+    spec = _spec(kernel="tables")
+    with pytest.raises(ValueError, match="pallas_shared"):
+        tempering.run_tempered(
+            np.arange(4, dtype=np.uint32), spec,
+            tempering.geometric_ladder(0.5, 2.0, 2))
+
+
+@pytest.mark.slow
+def test_tempered_marginals_are_boltzmann_per_level():
+    """N=3 enumerable board: each ladder level's marginal obeys its own
+    Boltzmann law even as configurations migrate between levels.
+
+    This is the correctness statement of replica exchange.  A broken swap
+    rule (e.g. swapping betas unconditionally) would drag each level's
+    marginal toward the other's; the power guard asserts the two levels'
+    laws are separated by more than the tolerance, so the test can detect
+    such mixing.
+    """
+    N, n_steps, stride = 3, 12000, 50
+    b_hot, b_cold = 0.4, 1.4
+    spec = _spec(
+        N=N,
+        n_steps=n_steps,
+        schedule=build_schedule("constant", n_steps, beta_const=1.0),
+        history_stride=stride,
+    )
+    ladder = np.asarray([b_hot, b_cold], np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = tempering.run_tempered(
+            np.arange(64, dtype=np.uint32), spec, ladder,
+            record_betas=True, swap_seed=11)
+
+    # Exact Boltzmann energy laws over the 3^9 board states.
+    weights = {b_hot: {}, b_cold: {}}
+    for hs in itertools.product(range(N), repeat=N * N):
+        e = _oracle.board_energy(np.array(hs).reshape(N, N))
+        for b in (b_hot, b_cold):
+            weights[b][e] = weights[b].get(e, 0.0) + np.exp(-b * e)
+    laws = {
+        b: {e: w / sum(ws.values()) for e, w in ws.items()}
+        for b, ws in weights.items()
+    }
+
+    burn = 3000 // stride
+    # energy_history[:, r+1] is the sample at the end of round r, generated
+    # under betas_history[r].
+    ehist = out["energy_history"][:, 1:]  # (C, rounds)
+    bhist = out["betas_history"].T        # (C, rounds)
+    tol = 0.04
+    for b in (b_hot, b_cold):
+        samples = ehist[:, burn:][np.isclose(bhist[:, burn:], b)]
+        assert samples.size >= 4000
+        for e, p in laws[b].items():
+            emp = (samples == e).mean()
+            assert abs(emp - p) < tol, (b, e, emp, p)
+    # Power guard: the two levels' laws must differ by more than 2*tol
+    # somewhere, or mixing between levels would be undetectable.
+    gap = max(
+        abs(laws[b_hot].get(e, 0.0) - laws[b_cold].get(e, 0.0))
+        for e in laws[b_cold]
+    )
+    assert gap > 2 * tol, f"test lacks power: hot-vs-cold gap {gap}"
+    # And swaps must actually happen (a dead exchange would also pass the
+    # marginal check): some chain must change level at least once.
+    assert (bhist[:, burn:] != bhist[:, burn:burn + 1]).any()
