@@ -78,16 +78,13 @@ class ChainSpec:
             raise ValueError(
                 "kernel='pallas_shared' supports mcmc_type='board' only"
             )
-        if (self.kernel == "pallas" and self.mcmc_type == "full_3d"
-                and self.Q is not None and self.Q > self.N ** 3 // 2):
-            # The pallas full_3d proposal uses bounded-attempt rejection
-            # sampling; above 50% occupancy its P(degenerate self-rejection)
-            # leaves the documented <1e-12 regime.  The jnp kernels use an
-            # exact unbounded loop and accept any Q <= N^3.
-            raise ValueError(
-                "kernel='pallas' full_3d supports Q <= N^3/2 (occupancy 0.5);"
-                " use kernel='tables'/'naive' for denser boards"
-            )
+        if (self.mcmc_type == "full_3d"
+                and self.Q is not None and self.Q >= self.N ** 3):
+            # Rejection sampling of an unoccupied cell requires a free cell;
+            # all kernels (pallas included — exact while_loop cleanup after
+            # the unrolled attempts) accept any occupancy below 1.
+            raise ValueError("full_3d requires Q < N^3 (a free cell must "
+                             "exist for the move proposal)")
         if self.init_mode not in ("random", "latin", "klarner"):
             raise ValueError(f"Unknown init_mode: {self.init_mode}")
         if self.history_stride < 1:

@@ -17,10 +17,11 @@ Round-2 redesign (shared with :mod:`mcqueens.kernels.board_shared`):
     per step (round-1 drew all K rejection-attempt words even though the
     expected attempt count is ~N/(N-1)); streams are bitwise identical on
     TPU and in interpret mode;
-  * the reference's unbounded rejection loop for "unoccupied cell" remains
-    K unrolled attempts with first-success select, K sized so P(all
-    occupied) < 1e-12 at the spec's occupancy (``_attempts``); ChainSpec
-    rejects Q > N^3/2 for this kernel so the bound holds.
+  * the reference's unbounded rejection loop for "unoccupied cell" is
+    EXACT here too: K unrolled attempts with first-success select (K sized
+    so a whole block rarely misses, ``_attempts``) followed by a
+    ``lax.while_loop`` that drains straggler lanes — same deterministic
+    candidate word sequence either way, any occupancy < 1 supported.
 
 Unlike the board, the full-3D delta-E has no sliceable locality here: a
 conflict test needs each queen's three coordinates (the 13 line families
@@ -88,29 +89,46 @@ def padded_chains(n_chains: int) -> int:
 
 
 def _attempts(N: int, Q: int) -> int:
-    """Attempts so that P(all occupied) = (Q/N^3)^K < 1e-12."""
+    """Static unrolled proposal attempts before the exact while_loop cleanup.
+
+    Sized so a whole 2048-lane block rarely needs the loop:
+    P(some lane misses all k static attempts) ~ BLOCK * (Q/N^3)^k <= ~3%.
+    Correctness never depends on k — the while_loop drains stragglers
+    exactly — k only balances straight-line work vs loop entries (measured
+    on the target: more static attempts beyond this point cost more than
+    the cold loop saves).
+    """
     frac = Q / (N ** 3)
     if frac <= 0:
         return 1
-    k = math.ceil(-12 / math.log10(frac))
-    return max(4, min(k, 64))
+    k = math.ceil(math.log(DEFAULT_BLOCK * 32) / max(1e-9, -math.log(frac)))
+    return max(2, min(k, 16))
 
 
 def _occ_words(N: int) -> int:
     return -(-(N ** 3) // 32)
 
 
-def _attack_sum(di0, dj0, dk0, di_eq_dj, di_eq_dk, dj_eq_dk):
-    """Disjoint-relation attack count per queen lane (int32 0/1 inputs)."""
-    same_ij = di0 * dj0
-    same_ik = di0 * dk0
-    same_jk = dj0 * dk0
-    plane_k = dk0 * di_eq_dj
-    plane_j = dj0 * di_eq_dk
-    plane_i = di0 * dj_eq_dk
-    return same_ij + same_ik + same_jk + plane_k + plane_j + plane_i + (
-        di_eq_dj * dj_eq_dk
-    )
+def _attack_ind(p, q, r):
+    """0/1 attack indicator from coordinate deltas (int32 arrays).
+
+    Two distinct cells attack iff their delta is t*(u, v, w) with u, v, w in
+    {-1, 0, 1}: every nonzero |delta| equals the common magnitude.  With
+    squared deltas and m = max(p2, q2, r2) that is
+    (p2 in {0, m}) and (q2 in {0, m}) and (r2 in {0, m}) — equivalent to the
+    7-relation disjoint sum (``mcmc.py:144-169``) but 2 maxes + 6 compares +
+    3 adds + 2 muls instead of 6 compares + 7 muls + 6 adds.  The two
+    brackets of a term are exclusive unless m == 0 (only the self row),
+    where the product is 8 — callers cancel the self row arithmetically.
+    """
+    p2 = p * p
+    q2 = q * q
+    r2 = r * r
+    m = jnp.maximum(p2, jnp.maximum(q2, r2))
+    bp = (p2 == 0).astype(jnp.int32) + (p2 == m).astype(jnp.int32)
+    bq = (q2 == 0).astype(jnp.int32) + (q2 == m).astype(jnp.int32)
+    br = (r2 == 0).astype(jnp.int32) + (r2 == m).astype(jnp.int32)
+    return bp * bq * br
 
 
 def _reduce_rows(x, S):
@@ -125,10 +143,9 @@ def _reduce_rows(x, S):
     return acc[0:1, :] + acc[1:2, :]
 
 
-def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, occ_in,
-            bqi_in, bqj_in, bqk_in, e_in, be_in, bs_in, ni_in, st_in,
-            ab_in, tb_in,
-            qi_o, qj_o, qk_o, occ_o, bqi_o, bqj_o, bqk_o,
+def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, qc_in, occ_in, bqc_in,
+            e_in, be_in, bs_in, ni_in, st_in, ab_in, tb_in,
+            qi_o, qj_o, qk_o, qc_o, occ_o, bqc_o,
             e_o, be_o, bs_o, ni_o, st_o, ab_o, tb_o,
             *, spec: ChainSpec, n_inner: int):
     N = spec.N
@@ -148,16 +165,13 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, occ_in,
     qi_o[:] = qi_in[:]
     qj_o[:] = qj_in[:]
     qk_o[:] = qk_in[:]
+    qc_o[:] = qc_in[:]
     occ_o[:] = occ_in[:]
-    bqi_o[:] = bqi_in[:]
-    bqj_o[:] = bqj_in[:]
-    bqk_o[:] = bqk_in[:]
+    bqc_o[:] = bqc_in[:]
 
     iota_q = lax.broadcasted_iota(jnp.int32, (QS, c_blk), 0)
     iota_w = lax.broadcasted_iota(jnp.int32, (n_words, c_blk), 0)
     bin_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
-    # Pad rows (q >= Q) must never attack or be selected.
-    pad_row = iota_q >= Q
 
     def occupied(occ, cell):
         """(1, C) int32 0/1: is per-chain cell occupied in the bitfield?"""
@@ -165,28 +179,11 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, occ_in,
         w = _reduce_rows(hit, n_words)
         return (w >> (cell % 32)) & 1
 
-    def conflicts(qi, qj, qk, x, y, z, not_self):
-        p = qi - x
-        q = qj - y
-        r = qk - z
-        p2 = p * p
-        q2 = q * q
-        r2 = r * r
-        att = _attack_sum(
-            (p2 == 0).astype(jnp.int32),
-            (q2 == 0).astype(jnp.int32),
-            (r2 == 0).astype(jnp.int32),
-            (p2 == q2).astype(jnp.int32),
-            (p2 == r2).astype(jnp.int32),
-            (q2 == r2).astype(jnp.int32),
-        )
-        return _reduce_rows(att * not_self, QS)
-
     def bin_of(gstep):
         return jnp.minimum(gstep * nb // spec.n_steps, nb - 1)
 
     def one_step(gstep, carry):
-        qi, qj, qk, occ = qi_o[:], qj_o[:], qk_o[:], occ_o[:]
+        qi, qj, qk, qc, occ = qi_o[:], qj_o[:], qk_o[:], qc_o[:], occ_o[:]
         e, be, bs, ni, st, acc_a, acc_t = carry
 
         base = prng.step_base(g, gstep)
@@ -194,31 +191,59 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, occ_in,
         q_idx = w_q % jnp.int32(Q)
         u = prng.uniform01(w_u)
 
-        sel = jnp.logical_and(iota_q == q_idx, ~pad_row)
-        sel_i = sel.astype(jnp.int32)
-        not_self = jnp.where(pad_row, 0, 1 - sel_i)
-        ox = _reduce_rows(sel_i * qi, QS)
-        oy = _reduce_rows(sel_i * qj, QS)
-        oz = _reduce_rows(sel_i * qk, QS)
-        old_cell = (ox * N + oy) * N + oz
+        # Extract the mover's cell through the packed plane: one masked
+        # reduce instead of three (pad rows can't be selected: q_idx < Q).
+        sel = iota_q == q_idx
+        old_cell = _reduce_rows(sel.astype(jnp.int32) * qc, QS)
+        ox = old_cell // (N * N)
+        oy = (old_cell // N) % N
+        oz = old_cell % N
 
-        # Uniform unoccupied cell: first success of n_attempts hashed draws.
-        new_cell = old_cell  # degenerate fallback: self-rejection, P < 1e-12
+        # Uniform unoccupied cell, EXACT rejection sampling: a few unrolled
+        # attempts cover almost every lane (P(miss) = occupancy^k), then a
+        # while_loop drains stragglers — same candidate word sequence either
+        # way, so the loop is deterministic and replayable.  Matches the
+        # reference's unbounded loop (experiments.py:226-231) exactly.
+        new_cell = old_cell
         found = jnp.zeros_like(old_cell)
-        for a in range(n_attempts):
-            w = prng.word_from_base(base, _A_SALT + np.int32(a))
+
+        def attempt(a, new_cell, found):
+            w = prng.word_from_base(base, _A_SALT + a)
             cand = w % jnp.int32(N3)
             free = 1 - occupied(occ, cand)
             take = (1 - found) * free
             new_cell = jnp.where(take == 1, cand, new_cell)
             found = jnp.maximum(found, free)
+            return new_cell, found
+
+        for a in range(n_attempts):
+            new_cell, found = attempt(jnp.int32(a), new_cell, found)
+
+        def att_cond(c):
+            _, _, found = c
+            return jnp.sum(found) < jnp.int32(c_blk)
+
+        def att_body(c):
+            a, new_cell, found = c
+            new_cell, found = attempt(a, new_cell, found)
+            return a + jnp.int32(1), new_cell, found
+
+        _, new_cell, found = lax.while_loop(
+            att_cond, att_body, (jnp.int32(n_attempts), new_cell, found)
+        )
 
         nx = new_cell // (N * N)
         ny = (new_cell // N) % N
         nz = new_cell % N
 
-        d_e = (conflicts(qi, qj, qk, nx, ny, nz, not_self)
-               - conflicts(qi, qj, qk, ox, oy, oz, not_self))
+        # One fused one-vs-all pass: net attack change per queen row, one
+        # reduce.  The mover's own row contributes ind(old vs new) - 8
+        # (self row gives 8, see _attack_ind); cancel it with a cheap (1, C)
+        # evaluation instead of masking the (QS, C) pass.
+        att = (_attack_ind(qi - nx, qj - ny, qk - nz)
+               - _attack_ind(qi - ox, qj - oy, qk - oz))
+        mover = _attack_ind(ox - nx, oy - ny, oz - nz)
+        d_e = _reduce_rows(att, QS) - mover + jnp.int32(8)
 
         gstep_f = jnp.full((1, 1), 0, jnp.float32) + gstep.astype(jnp.float32)
         beta = spec.schedule(gstep_f)
@@ -232,6 +257,7 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, occ_in,
         qi_o[:] = jnp.where(sel_upd, nx, qi)
         qj_o[:] = jnp.where(sel_upd, ny, qj)
         qk_o[:] = jnp.where(sel_upd, nz, qk)
+        qc_o[:] = jnp.where(sel_upd, new_cell, qc)
 
         updi = upd.astype(jnp.int32)
         old_mask = jnp.where(iota_w == old_cell // 32,
@@ -242,9 +268,7 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, occ_in,
 
         e = e + jnp.where(upd, d_e, 0)
         improved = jnp.logical_and(upd, e < be)
-        bqi_o[:] = jnp.where(improved, qi_o[:], bqi_o[:])
-        bqj_o[:] = jnp.where(improved, qj_o[:], bqj_o[:])
-        bqk_o[:] = jnp.where(improved, qk_o[:], bqk_o[:])
+        bqc_o[:] = jnp.where(improved, qc_o[:], bqc_o[:])
         be = jnp.where(improved, e, be)
         bs = jnp.where(improved, gstep + 1, bs)
         ni = jnp.where(active, jnp.where(improved, 0, ni + 1), ni)
@@ -307,8 +331,14 @@ def _qs(Q: int) -> int:
     return -(-Q // 8) * 8
 
 
-def _internal_state(carry: PallasFull3DCarry):
-    """(C, X)-major carry -> (X, C) padded internal planes."""
+def _internal_state(carry: PallasFull3DCarry, N: int):
+    """(C, X)-major carry -> (X, C) padded internal planes.
+
+    Plane order: (qi, qj, qk, qc, occ, bqc, e, be, bs, ni, st, ab, tb, cs)
+    where ``qc`` is the packed-cell plane ((i*N + j)*N + k — one masked
+    reduce extracts the mover's whole cell) and ``bqc`` is the packed best
+    board (one select per improvement instead of three coordinate planes).
+    """
     Q = carry.qi.shape[1]
     QS = _qs(Q)
     pad = QS - Q
@@ -321,14 +351,17 @@ def _internal_state(carry: PallasFull3DCarry):
             )
         return t
 
+    def packed(xi, xj, xk):
+        return ((xi * N + xj) * N + xk).astype(jnp.int32)
+
     # Pad rows get sentinel coordinates (never equal to a real coordinate
     # and never forming equal squared differences with cells in [0, N)).
     s = 1 << 10
     return (
         plane(carry.qi, s), plane(carry.qj, 3 * s), plane(carry.qk, 7 * s),
+        plane(packed(carry.qi, carry.qj, carry.qk), 0),
         carry.occ.T.astype(jnp.int32),
-        plane(carry.best_qi, s), plane(carry.best_qj, 3 * s),
-        plane(carry.best_qk, 7 * s),
+        plane(packed(carry.best_qi, carry.best_qj, carry.best_qk), 0),
         carry.energy.T, carry.best_energy.T, carry.best_step.T,
         carry.no_improve.T, carry.stop_step.T,
         carry.accept_bins.T, carry.total_bins.T,
@@ -336,13 +369,14 @@ def _internal_state(carry: PallasFull3DCarry):
     )
 
 
-def _external_carry(block_seeds, st, Q: int) -> PallasFull3DCarry:
-    qi, qj, qk, occ, bqi, bqj, bqk, e, be, bs, ni, stp, ab, tb, cs = st
+def _external_carry(block_seeds, st, Q: int, N: int) -> PallasFull3DCarry:
+    qi, qj, qk, qc, occ, bqc, e, be, bs, ni, stp, ab, tb, cs = st
+    b = bqc[:Q].T
     return PallasFull3DCarry(
         block_seeds=block_seeds,
         chain_seeds=cs.T,
         qi=qi[:Q].T, qj=qj[:Q].T, qk=qk[:Q].T, occ=occ.T,
-        best_qi=bqi[:Q].T, best_qj=bqj[:Q].T, best_qk=bqk[:Q].T,
+        best_qi=b // (N * N), best_qj=(b // N) % N, best_qk=b % N,
         energy=e.T, best_energy=be.T, best_step=bs.T,
         no_improve=ni.T, stop_step=stp.T,
         accept_bins=ab.T, total_bins=tb.T,
@@ -355,15 +389,15 @@ def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
     n_blocks = block_seeds.shape[0]
     c_blk = C // n_blocks
     nb = spec.n_bins
-    n_words = st[3].shape[0]
+    n_words = st[4].shape[0]
 
     def cs(rows):
         return pl.BlockSpec((rows, c_blk), lambda b: (0, b),
                             memory_space=pltpu.VMEM)
 
-    state_specs = ([cs(QS)] * 3 + [cs(n_words)] + [cs(QS)] * 3
+    state_specs = ([cs(QS)] * 4 + [cs(n_words)] + [cs(QS)]
                    + [cs(1)] * 5 + [cs(nb)] * 2)
-    rows_of = [QS] * 3 + [n_words] + [QS] * 3 + [1] * 5 + [nb] * 2
+    rows_of = [QS] * 4 + [n_words] + [QS] + [1] * 5 + [nb] * 2
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         cs(1),  # chain_seeds row (read-only)
@@ -383,8 +417,8 @@ def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(step0_arr, st[14], *st[:14])
-    return tuple(outs) + (st[14],)
+    )(step0_arr, st[13], *st[:13])
+    return tuple(outs) + (st[13],)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
@@ -450,16 +484,16 @@ def init_carry_batch(seeds, spec: ChainSpec,
 def run_segment(carry: PallasFull3DCarry, start_outer, spec: ChainSpec,
                 n_outer: int):
     stride = spec.history_stride
-    st = _internal_state(carry)
+    st = _internal_state(carry, spec.N)
     block_seeds = carry.block_seeds
 
     def chunk(s, outer_idx):
         s = _run_block_segment(s, block_seeds, outer_idx * stride, spec,
                                stride)
-        return s, s[7][0]  # energy row -> (C,)
+        return s, s[6][0]  # energy row -> (C,)
 
     st, ys = lax.scan(chunk, st, start_outer + jnp.arange(n_outer))
-    return _external_carry(block_seeds, st, spec.q_eff), ys
+    return _external_carry(block_seeds, st, spec.q_eff, spec.N), ys
 
 
 @functools.cache
