@@ -81,3 +81,10 @@ def test_spec_validation_errors():
         ChainSpec(N=4, n_steps=2 ** 26, schedule=sched, n_bins=100)
     with pytest.raises(ValueError, match="N must be"):
         ChainSpec(N=1, n_steps=10, schedule=sched)
+    # A free cell must exist for the full_3d move proposal (any kernel);
+    # any Q < N^3 is accepted since the pallas sampler became exact.
+    with pytest.raises(ValueError, match="free cell"):
+        ChainSpec(N=3, n_steps=10, schedule=sched, mcmc_type="full_3d",
+                  Q=27)
+    ChainSpec(N=3, n_steps=10, schedule=sched, mcmc_type="full_3d",
+              kernel="pallas", Q=26)  # occupancy ~0.96: accepted
