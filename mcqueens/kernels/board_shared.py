@@ -42,9 +42,18 @@ mutually-exclusive relation algebra as :mod:`mcqueens.kernels.delta_e`, so
 in the four blocks).  Equality with the count-table delta is asserted by the
 trajectory invariants in ``tests/test_shared_kernel.py``.
 
-Measured on this host (see BENCH history): ~1.3e9 proposed moves/s/chip at
-N=16 with per-step best tracking — 10x the dense per-chain-site kernel and at
-the BASELINE.json north-star despite the degraded tunnel.
+Best tracking is exact but *group-amortized*: the hot loop keeps only the
+(1, C) ``best_energy``/``best_step`` rows per step and logs each sub-step's
+(old_k, accepted) rows; once per ``_UNROLL`` group it snapshots improved
+chains' boards and reverts the logged moves made after each chain's best
+step (newest first), restoring the board exactly as of ``best_step``.  That
+turns the one full-(S, C) pass per step — which dominated the round-2
+kernel's step cost — into one per group.
+
+Measured on this host (see BENCH history): ~1.84e9 proposed moves/s/chip at
+N=16 with exact best tracking (1.92e9 with ``track_best=False``) — ~12x the
+dense per-chain-site kernel and 1.8x the BASELINE.json north-star despite
+the degraded tunnel.
 """
 
 from __future__ import annotations
@@ -156,7 +165,8 @@ def _external_carry(block_seeds, st, N: int) -> PallasBoardCarry:
 
 
 def _kernel(step0_ref, seed_ref, cs_in, *refs,
-            spec: ChainSpec, n_inner: int, tempered: bool = False):
+            spec: ChainSpec, n_inner: int, tempered: bool = False,
+            track_best: bool = True):
     if tempered:
         # Per-chain beta scale row (parallel tempering): effective beta for a
         # chain is spec.schedule(step) * beta_scale[chain].
@@ -202,7 +212,7 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
         cell = hv % jnp.int32(N * N)
         return cell // N, cell % N
 
-    def one_step(gstep, carry):
+    def one_step(gstep, carry, update_bh=True):
         w0, w1 = prng.step_words(g, gstep)
         e, be, bs, ni, st, acc_a, acc_t = carry
         i, j = site(gstep)
@@ -271,7 +281,13 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
 
         e = e + jnp.where(upd, d_e, 0)
         improved = jnp.logical_and(upd, e < be)
-        bh_o[:] = jnp.where(improved, r_o[:], bh_o[:])
+        if track_best and update_bh:
+            # Full-(S, C) snapshot of improved chains' boards.  The unrolled
+            # group path passes update_bh=False and instead reconstructs the
+            # best boards once per group (see the flush in ``body``), which
+            # amortizes this — the only full-board pass in the step — by the
+            # unroll factor.
+            bh_o[:] = jnp.where(improved, r_o[:], bh_o[:])
         be = jnp.where(improved, e, be)
         bs = jnp.where(improved, gstep + 1, bs)
         ni = jnp.where(active, jnp.where(improved, 0, ni + 1), ni)
@@ -282,7 +298,7 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
         inc = active.astype(jnp.int32)
         acc_a = acc_a + inc * accept.astype(jnp.int32)
         acc_t = acc_t + inc
-        return e, be, bs, ni, st, acc_a, acc_t
+        return (e, be, bs, ni, st, acc_a, acc_t), (old_k, upd)
 
     def flush_bins(ab, tb, b0, b1, a0, a1, t0, t1):
         # A <=UNROLL-step group spans at most two bins; group counts were
@@ -307,10 +323,13 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
         b1 = bin_of(g0 + (_UNROLL - 1))
         accs = (zrow, zrow, zrow, zrow)  # acc_a0, acc_a1, acc_t0, acc_t1
         inner = (e, be, bs, ni, st)
+        move_log = []  # (old_k, upd) rows, one per unrolled sub-step
         for k in range(_UNROLL):
             gstep = g0 + k
             second = bin_of(gstep) == b1  # scalar; routes counts to a bin
-            e, be, bs, ni, st, da, dt = one_step(gstep, (*inner, zrow, zrow))
+            (e, be, bs, ni, st, da, dt), mv = one_step(
+                gstep, (*inner, zrow, zrow), update_bh=False)
+            move_log.append(mv)
             inner = (e, be, bs, ni, st)
             a0, a1, t0, t1 = accs
             is2 = jnp.where(second, 1, 0)
@@ -318,6 +337,24 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
                     t0 + dt * (1 - is2), t1 + dt * is2)
         a0, a1, t0, t1 = accs
         ab, tb = flush_bins(ab, tb, b0, b1, a0, a1, t0, t1)
+        if track_best:
+            # Group-amortized exact best tracking: one full-board snapshot
+            # for chains that improved in this group (their best_step bs is
+            # inside the group), then revert the logged accepted moves that
+            # happened strictly AFTER each chain's best step, newest first.
+            # The board is restored to its exact state at bs — per-step
+            # snapshotting spread over _UNROLL steps.
+            g_imp = bs > g0  # (1, C): improved at least once in this group
+            bh_o[:] = jnp.where(g_imp, r_o[:], bh_o[:])
+            for k in reversed(range(_UNROLL)):
+                gstep = g0 + k
+                old_k, upd = move_log[k]
+                i, j = site(gstep)
+                rowmask = jnp.logical_and(
+                    jnp.logical_and(g_imp, upd), bs <= gstep)
+                blk = bh_o[pl.ds(i * SN, SN), :]
+                bh_o[pl.ds(i * SN, SN), :] = jnp.where(
+                    jnp.logical_and(rowmask, iota == j), old_k, blk)
         return (*inner, ab, tb)
 
     carry = (e_in[:], be_in[:], bs_in[:], ni_in[:], st_in[:],
@@ -327,7 +364,7 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
     e, be, bs, ni, st, ab, tb = carry
     for k in range(n_inner - n_groups * _UNROLL):
         gstep = step0 + n_groups * _UNROLL + k
-        e, be, bs, ni, st, da, dt = one_step(
+        (e, be, bs, ni, st, da, dt), _ = one_step(
             gstep, (e, be, bs, ni, st, zrow, zrow))
         oh = (bin_iota == bin_of(gstep)).astype(jnp.int32)
         ab = ab + oh * da
@@ -342,7 +379,7 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
 
 
 def _block_segment_call(st, block_seeds, step0, spec: ChainSpec,
-                        n_inner: int, beta_row=None):
+                        n_inner: int, beta_row=None, track_best: bool = True):
     """One pallas_call advancing every block by n_inner steps (internal state).
 
     ``beta_row`` — optional (1, C) float32 per-chain beta scale (parallel
@@ -381,7 +418,7 @@ def _block_segment_call(st, block_seeds, step0, spec: ChainSpec,
 
     outs = pl.pallas_call(
         functools.partial(_kernel, spec=spec, n_inner=n_inner,
-                          tempered=tempered),
+                          tempered=tempered, track_best=track_best),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -394,9 +431,11 @@ def _block_segment_call(st, block_seeds, step0, spec: ChainSpec,
     return tuple(outs) + (st[12],)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "n_inner"))
-def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
-    return _block_segment_call(st, block_seeds, step0, spec, n_inner)
+@functools.partial(jax.jit, static_argnames=("spec", "n_inner", "track_best"))
+def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int,
+                       track_best: bool = True):
+    return _block_segment_call(st, block_seeds, step0, spec, n_inner,
+                               track_best=track_best)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
@@ -452,14 +491,20 @@ def init_carry_batch(seeds, spec: ChainSpec,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "n_outer"))
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_outer", "track_best"))
 def run_segment(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
-                n_outer: int):
+                n_outer: int, track_best: bool = True):
     """Segment API matching chain/board.py: n_outer chunks of stride steps.
 
     The external carry keeps the chains-major layout of the other kernels;
     the transposed line-major layouts are derived once per segment (cheap
     XLA gathers) and persist across the chunk scan.
+
+    ``track_best=False`` drops the per-step best-board snapshot (the only
+    full-(S, C) pass in the hot loop); ``best_energy``/``best_step`` stay
+    exact and the board can be recovered afterwards with
+    :func:`recover_best_heights` (deterministic counter-PRNG replay).
     """
     stride = spec.history_stride
     st = _internal_state(carry, spec.N)
@@ -467,7 +512,7 @@ def run_segment(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
 
     def chunk(s, outer_idx):
         s = _run_block_segment(s, block_seeds, outer_idx * stride, spec,
-                               stride)
+                               stride, track_best=track_best)
         return s, s[5][0]  # energy row -> (C,)
 
     st, ys = lax.scan(chunk, st, start_outer + jnp.arange(n_outer))
