@@ -6,7 +6,7 @@ linear annealing, tens of thousands of chains.  The default kernel is the
 round-2 shared-site sliced kernel (mcqueens/kernels/board_shared.py): O(N)
 work per proposal via dynamic sublane slices of four line-major board
 layouts, chains on the lane axis, group-amortized exact best tracking.
-Measured 1.84e9 moves/s/chip on this host's degraded tunnel (round 1 dense
+Measured 2.09e9 moves/s/chip on this host's degraded tunnel (round 1 dense
 kernel: 1.3e8; first shared-site version: 1.14e9).
 Prints exactly one JSON line:
 

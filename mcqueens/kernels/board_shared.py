@@ -50,10 +50,12 @@ step (newest first), restoring the board exactly as of ``best_step``.  That
 turns the one full-(S, C) pass per step — which dominated the round-2
 kernel's step cost — into one per group.
 
-Measured on this host (see BENCH history): ~1.84e9 proposed moves/s/chip at
-N=16 with exact best tracking (1.92e9 with ``track_best=False``) — ~12x the
-dense per-chain-site kernel and 1.8x the BASELINE.json north-star despite
-the degraded tunnel.
+Measured on this host (see BENCH history): ~2.09e9 proposed moves/s/chip at
+N=16 with exact best tracking (2.18e9 with ``track_best=False``) — ~14x the
+dense per-chain-site kernel and 2.1x the BASELINE.json north-star despite
+the degraded tunnel.  The unroll factor adapts to the segment length
+(32 for production strides, 8 for tiny ones) purely for code size: results
+are unroll-invariant.
 """
 
 from __future__ import annotations
@@ -76,7 +78,10 @@ from mcqueens.kernels.metropolis_pallas import PallasBoardCarry
 # (5 layouts x S x C x 4B ~ 10 MB at N=16) against per-step fixed costs.
 DEFAULT_BLOCK = 2048
 _LANE = 128  # lane tile granularity
-_UNROLL = 8  # sub-steps per fori iteration (amortizes PRNG + loop overhead)
+_UNROLL = 32  # sub-steps per fori iteration (amortizes PRNG + loop overhead)
+_UNROLL_SMALL = 8  # for tiny segments (tests, short strides): 4x less
+# straight-line kernel code, same bitwise results (the unroll factor only
+# groups steps; trajectories, bins and best boards are unroll-invariant)
 
 # Pad-row height: never equals a real height and never satisfies
 # (SENTINEL - k)^2 == delta^2 for |delta| < SN, so pad rows contribute 0.
@@ -314,39 +319,51 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
         return jnp.minimum(gstep * nb // spec.n_steps, nb - 1)
 
     zrow = jnp.zeros((1, c_blk), jnp.int32)
-    n_groups = n_inner // _UNROLL
+    unroll = _UNROLL if n_inner >= 1024 else _UNROLL_SMALL
+    n_groups = n_inner // unroll
+    # The split-accumulator bin scheme assumes a group spans <= 2 bins,
+    # guaranteed when the bin width is >= the unroll factor (any `unroll`
+    # consecutive steps then fit in two bins regardless of alignment).  Toy
+    # configs with narrower bins take the exact per-step one-hot path.
+    exact_bins = spec.n_steps // spec.n_bins < unroll
 
     def body(t, carry):
         e, be, bs, ni, st, ab, tb = carry
-        g0 = step0 + t * _UNROLL
+        g0 = step0 + t * unroll
         b0 = bin_of(g0)
-        b1 = bin_of(g0 + (_UNROLL - 1))
+        b1 = bin_of(g0 + (unroll - 1))
         accs = (zrow, zrow, zrow, zrow)  # acc_a0, acc_a1, acc_t0, acc_t1
         inner = (e, be, bs, ni, st)
         move_log = []  # (old_k, upd) rows, one per unrolled sub-step
-        for k in range(_UNROLL):
+        for k in range(unroll):
             gstep = g0 + k
             second = bin_of(gstep) == b1  # scalar; routes counts to a bin
             (e, be, bs, ni, st, da, dt), mv = one_step(
                 gstep, (*inner, zrow, zrow), update_bh=False)
             move_log.append(mv)
             inner = (e, be, bs, ni, st)
+            if exact_bins:
+                oh = (bin_iota == bin_of(gstep)).astype(jnp.int32)
+                ab = ab + oh * da
+                tb = tb + oh * dt
+            else:
+                a0, a1, t0, t1 = accs
+                is2 = jnp.where(second, 1, 0)
+                accs = (a0 + da * (1 - is2), a1 + da * is2,
+                        t0 + dt * (1 - is2), t1 + dt * is2)
+        if not exact_bins:
             a0, a1, t0, t1 = accs
-            is2 = jnp.where(second, 1, 0)
-            accs = (a0 + da * (1 - is2), a1 + da * is2,
-                    t0 + dt * (1 - is2), t1 + dt * is2)
-        a0, a1, t0, t1 = accs
-        ab, tb = flush_bins(ab, tb, b0, b1, a0, a1, t0, t1)
+            ab, tb = flush_bins(ab, tb, b0, b1, a0, a1, t0, t1)
         if track_best:
             # Group-amortized exact best tracking: one full-board snapshot
             # for chains that improved in this group (their best_step bs is
             # inside the group), then revert the logged accepted moves that
             # happened strictly AFTER each chain's best step, newest first.
             # The board is restored to its exact state at bs — per-step
-            # snapshotting spread over _UNROLL steps.
+            # snapshotting spread over the group.
             g_imp = bs > g0  # (1, C): improved at least once in this group
             bh_o[:] = jnp.where(g_imp, r_o[:], bh_o[:])
-            for k in reversed(range(_UNROLL)):
+            for k in reversed(range(unroll)):
                 gstep = g0 + k
                 old_k, upd = move_log[k]
                 i, j = site(gstep)
@@ -362,8 +379,8 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
     carry = lax.fori_loop(0, n_groups, body, carry)
     # Tail steps (n_inner not divisible by the unroll factor).
     e, be, bs, ni, st, ab, tb = carry
-    for k in range(n_inner - n_groups * _UNROLL):
-        gstep = step0 + n_groups * _UNROLL + k
+    for k in range(n_inner - n_groups * unroll):
+        gstep = step0 + n_groups * unroll + k
         (e, be, bs, ni, st, da, dt), _ = one_step(
             gstep, (e, be, bs, ni, st, zrow, zrow))
         oh = (bin_iota == bin_of(gstep)).astype(jnp.int32)

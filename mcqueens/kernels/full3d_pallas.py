@@ -283,6 +283,9 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, qc_in, occ_in, bqc_in,
 
     zrow = jnp.zeros((1, c_blk), jnp.int32)
     n_groups = n_inner // _UNROLL
+    # Split accumulators assume a group spans <= 2 bins (bin width >=
+    # _UNROLL); toy configs with narrower bins use exact per-step one-hots.
+    exact_bins = spec.n_steps // spec.n_bins < _UNROLL
 
     def body(t, carry):
         e, be, bs, ni, st, ab, tb = carry
@@ -296,15 +299,21 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, qc_in, occ_in, bqc_in,
             second = bin_of(gstep) == b1
             e, be, bs, ni, st, da, dt = one_step(gstep, (*inner, zrow, zrow))
             inner = (e, be, bs, ni, st)
+            if exact_bins:
+                oh = (bin_iota == bin_of(gstep)).astype(jnp.int32)
+                ab = ab + oh * da
+                tb = tb + oh * dt
+            else:
+                a0, a1, t0, t1 = accs
+                is2 = jnp.where(second, 1, 0)
+                accs = (a0 + da * (1 - is2), a1 + da * is2,
+                        t0 + dt * (1 - is2), t1 + dt * is2)
+        if not exact_bins:
             a0, a1, t0, t1 = accs
-            is2 = jnp.where(second, 1, 0)
-            accs = (a0 + da * (1 - is2), a1 + da * is2,
-                    t0 + dt * (1 - is2), t1 + dt * is2)
-        a0, a1, t0, t1 = accs
-        oh0 = (bin_iota == b0).astype(jnp.int32)
-        oh1 = (bin_iota == b1).astype(jnp.int32)
-        ab = ab + oh0 * a0 + oh1 * a1
-        tb = tb + oh0 * t0 + oh1 * t1
+            oh0 = (bin_iota == b0).astype(jnp.int32)
+            oh1 = (bin_iota == b1).astype(jnp.int32)
+            ab = ab + oh0 * a0 + oh1 * a1
+            tb = tb + oh0 * t0 + oh1 * t1
         return (*inner, ab, tb)
 
     carry = (e_in[:], be_in[:], bs_in[:], ni_in[:], st_in[:],

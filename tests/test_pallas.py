@@ -221,3 +221,11 @@ def test_pallas_warm_start_from_explicit_heights():
     for r in range(3):
         assert res.energy_history[r, 0] == board_energy(starts[r])
         assert res.final_energy[r] == board_energy(res.final_state[r])
+
+
+def test_pallas_full3d_bins_exact_when_narrow():
+    """full_3d kernel: exact bin totals when bins are narrower than the
+    8-step unroll group (see test_shared_kernel_bins_exact_when_narrow)."""
+    spec = _spec(N=4, mcmc_type="full_3d", n_steps=400, history_stride=50)
+    res = _run_pallas(spec, n_runs=4)
+    assert (res.total_bins == 4).all()

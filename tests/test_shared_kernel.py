@@ -200,3 +200,34 @@ def test_counter_prng_uniformity():
     flat = np.stack(ws)
     corr = np.corrcoef(flat[:-1].reshape(-1), flat[1:].reshape(-1))[0, 1]
     assert abs(corr) < 0.03
+
+
+def test_shared_kernel_bins_exact_when_narrow():
+    """Bin totals are exact even when an unroll group straddles >2 bins.
+
+    n_steps=400 with the default 100 bins gives 4-step bins — narrower than
+    the kernel's 8-step unroll group — and stride 50 misaligns groups with
+    bin boundaries.  The fast split-accumulator scheme would leak mid-bin
+    counts into the group's first bin; the kernel must detect the narrow
+    width and take the exact per-step path.
+    """
+    spec = _spec(n_steps=400, history_stride=50)
+    res = _run(spec, n_runs=4)
+    assert (res.total_bins == 4).all()
+
+
+def test_shared_kernel_wide_unroll_invariants():
+    """Cover the production unroll-32 path (segments >= 1024 steps).
+
+    Tiny strides take the _UNROLL_SMALL=8 path; this run's 1024-step
+    segments compile the 32-step groups, whose group-amortized best-board
+    reconstruction and split-bin accounting must match the oracle exactly.
+    """
+    spec = _spec(N=6, n_steps=2048, history_stride=1024,
+                 schedule=build_schedule("linear_annealing", 2048,
+                                         beta_start=0.5, beta_end=3.0))
+    res = _run(spec, n_runs=2)
+    for r in range(res.n_runs):
+        assert res.final_energy[r] == _oracle.board_energy(res.final_state[r])
+        assert res.best_energy[r] == _oracle.board_energy(res.best_state[r])
+    assert (res.total_bins.sum(axis=1) == spec.n_steps).all()
