@@ -236,7 +236,7 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
         old_k = pltpu.roll(rowblk, (SN - j) % SN, 0)[0:1, :]
         new_k = (old_k + 1 + kr) % N
 
-        def contrib(blk, delta, mask=None):
+        def contrib(blk, d2, mask=None):
             # Uniform line formula: conflict with height k at offset delta
             # iff h' == k (axis/plane-k family) or (h'-k)^2 == delta^2
             # (diagonal family).  Mutually exclusive off-site (delta != 0).
@@ -244,7 +244,6 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
             dhn = blk - new_k
             dho2 = dho * dho
             dhn2 = dhn * dhn
-            d2 = delta * delta
             net = (
                 (dhn2 == 0).astype(jnp.int32) - (dho2 == 0).astype(jnp.int32)
                 + (dhn2 == d2).astype(jnp.int32)
@@ -256,11 +255,13 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
 
         dj = iota - j
         di = iota - i
+        dj2 = dj * dj
+        di2 = di * di  # shared by the column and both skew blocks
         # Skew blocks hold a complementary line pair; keep the site's strip.
         vd = (iota + td < N) == (i + td < N)
         va = (iota <= ta) == (i <= ta)
-        acc = (contrib(rowblk, dj) + contrib(colblk, di)
-               + contrib(dblk, di, vd) + contrib(ablk, di, va))
+        acc = (contrib(rowblk, dj2) + contrib(colblk, di2)
+               + contrib(dblk, di2, vd) + contrib(ablk, di2, va))
         # +8: the moving queen's own lane contributes exactly -2 in each of
         # the four blocks (z_old and diag_old both hit at delta == 0).
         d_e = _reduce_rows(acc) + jnp.int32(8)
@@ -275,14 +276,12 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
         active = jnp.logical_and(~done, gstep < spec.n_steps)
         upd = jnp.logical_and(accept, active)
 
+        mi_upd = jnp.logical_and(iota == i, upd)  # col/skew store mask
         r_o[pl.ds(i * SN, SN), :] = jnp.where(
             jnp.logical_and(iota == j, upd), new_k, rowblk)
-        c_o[pl.ds(j * SN, SN), :] = jnp.where(
-            jnp.logical_and(iota == i, upd), new_k, colblk)
-        sk_o[pl.ds(td * SN, SN), :] = jnp.where(
-            jnp.logical_and(iota == i, upd), new_k, dblk)
-        ak_o[pl.ds(ta * SN, SN), :] = jnp.where(
-            jnp.logical_and(iota == i, upd), new_k, ablk)
+        c_o[pl.ds(j * SN, SN), :] = jnp.where(mi_upd, new_k, colblk)
+        sk_o[pl.ds(td * SN, SN), :] = jnp.where(mi_upd, new_k, dblk)
+        ak_o[pl.ds(ta * SN, SN), :] = jnp.where(mi_upd, new_k, ablk)
 
         e = e + jnp.where(upd, d_e, 0)
         improved = jnp.logical_and(upd, e < be)
