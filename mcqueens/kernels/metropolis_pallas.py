@@ -10,9 +10,16 @@ sampling loop on-chip:
     segment — HBM traffic is one load + one store per segment instead of
     per step;
   * delta-E is the gather-free disjointness identity
-    (:mod:`mcqueens.kernels.delta_e`) evaluated as ~30 fused int32 vector
-    passes over the (C_blk, N^2) board — Mosaic exposes no per-lane
-    gather/scatter, so the count-table trick is XLA-side only;
+    (:mod:`mcqueens.kernels.delta_e`) evaluated as fused int32 vector
+    passes over the board — Mosaic exposes no per-lane gather/scatter, so
+    the count-table trick is XLA-side only;
+  * **chains live on the lane axis** (late round-2 transposition, same as
+    :mod:`board_shared` / :mod:`full3d_pallas`): the board planes are
+    (N², C) and all per-chain bookkeeping is (1, C) rows costing
+    ~0.008 VREG/chain instead of the (C, 1) columns of the round-1 layout
+    (which tile-pad to 128 lanes and made scalar bookkeeping ~25% of the
+    step).  The per-chain PRNG word usage is unchanged, so trajectories
+    are **bitwise identical** to the round-1 layout (golden-checked);
   * proposals come from a counter-based integer-hash PRNG
     (:mod:`mcqueens.kernels.prng`) keyed by (chain seed, step) — a chain's
     stream is a function of its own seed, independent of block size and mesh
@@ -45,10 +52,20 @@ from mcqueens.chain.spec import ChainSpec
 from mcqueens.core import tables as tables_mod
 from mcqueens.kernels import prng
 
-# Chains per VMEM block.  1 MB of board state at N=16; bigger blocks
-# amortize the per-step (C, 1) scalar ops.
-DEFAULT_BLOCK = 1024
-_SUBLANE = 8  # sublane tile granularity for chain counts
+# Chains per VMEM block along the lane axis (board planes are (N^2, C)).
+DEFAULT_BLOCK = 2048
+_LANE = 128  # lane tile granularity
+
+_UNROLL = 32  # sub-steps per fori iteration for production segment lengths
+_UNROLL_SMALL = 8  # tiny segments (tests): 4x less straight-line code;
+# results are unroll-invariant (the counter PRNG keys on the global step)
+
+# Pad-row coordinate sentinels: pad sublanes beyond N^2 get (i, j) =
+# (_SENT_I, _SENT_J).  For any site (i, j) in [0, N): p = _SENT_I - i > 0,
+# q = _SENT_J - j > 2.9 p > 0, so a = b = 0 and p^2 != q^2 — pad rows
+# contribute exactly 0 to the delta-E integrand whatever height they hold.
+_SENT_I = 1 << 10
+_SENT_J = 3 << 10
 
 
 class PallasBoardCarry(NamedTuple):
@@ -70,7 +87,7 @@ class PallasBoardCarry(NamedTuple):
 def block_size(n_chains: int) -> int:
     if n_chains >= DEFAULT_BLOCK:
         return DEFAULT_BLOCK
-    return -(-n_chains // _SUBLANE) * _SUBLANE
+    return -(-n_chains // _LANE) * _LANE
 
 
 def padded_chains(n_chains: int) -> int:
@@ -78,30 +95,87 @@ def padded_chains(n_chains: int) -> int:
     return -(-n_chains // blk) * blk
 
 
-_UNROLL = 4  # sub-steps per fori iteration: amortizes the PRNG call (~+17%)
+def _nns(N: int) -> int:
+    """N^2 padded up to a sublane-tile multiple."""
+    return -(-(N * N) // 8) * 8
 
 
-def _kernel(step0_ref, cs_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
-            ni_ref, st_ref, ab_ref, tb_ref,
-            h_out, bh_out, e_out, be_out, bs_out, ni_out, st_out,
-            ab_out, tb_out, *, spec: ChainSpec, n_inner: int):
+def _reduce_rows(x, S):
+    """(S, C) -> (1, C) sum along sublanes via tile-friendly strided adds."""
+    acc = x[0:8, :]
+    for off in range(8, S, 8):
+        acc = acc + x[off:off + 8, :]
+    acc = acc[0:4, :] + acc[4:8, :]
+    acc = acc[0:2, :] + acc[2:4, :]
+    return acc[0:1, :] + acc[1:2, :]
+
+
+def _internal_state(carry: PallasBoardCarry, N: int):
+    """Chains-major carry -> (rows, C) transposed internal planes."""
+    NN = N * N
+    pad = _nns(N) - NN
+
+    def plane(x):
+        t = x.T.astype(jnp.int32)
+        if pad:
+            t = jnp.concatenate(
+                [t, jnp.zeros((pad, t.shape[1]), jnp.int32)], axis=0
+            )
+        return t
+
+    return (
+        plane(carry.heights), plane(carry.best_heights),
+        carry.energy.T, carry.best_energy.T, carry.best_step.T,
+        carry.no_improve.T, carry.stop_step.T,
+        carry.accept_bins.T, carry.total_bins.T,
+        carry.chain_seeds.T.astype(jnp.int32),
+    )
+
+
+def _external_carry(block_seeds, st, N: int) -> PallasBoardCarry:
+    NN = N * N
+    h, bh, e, be, bs, ni, stp, ab, tb, cs = st
+    return PallasBoardCarry(
+        block_seeds=block_seeds,
+        chain_seeds=cs.T,
+        heights=h[:NN].T, best_heights=bh[:NN].T,
+        energy=e.T, best_energy=be.T, best_step=bs.T,
+        no_improve=ni.T, stop_step=stp.T,
+        accept_bins=ab.T, total_bins=tb.T,
+    )
+
+
+def _kernel(step0_ref, cs_in, h_in, bh_in, e_in, be_in, bs_in,
+            ni_in, st_in, ab_in, tb_in,
+            h_o, bh_o, e_o, be_o, bs_o, ni_o, st_o, ab_o, tb_o,
+            *, spec: ChainSpec, n_inner: int):
     N = spec.N
     NN = N * N
-    c_blk = h_ref.shape[0]
+    NNS = h_in.shape[0]
+    c_blk = h_in.shape[1]
+    nb = spec.n_bins
 
+    step0 = step0_ref[0, 0]
     # Counter-based streams (kernels/prng.py): one key per chain SEED (not
     # block/lane position), words drawn per step — bitwise identical on TPU
-    # and in interpret mode, and independent of block size / mesh layout
-    # (pltpu.prng_random_bits is stubbed to zeros when interpreted).
-    g = prng.chain_streams(cs_ref[:])
+    # and in interpret mode, and independent of block size / mesh layout.
+    g = prng.chain_streams(cs_in[:])
 
-    cell = lax.broadcasted_iota(jnp.int32, (c_blk, NN), 1)
-    i_grid = cell // N
-    j_grid = cell % N
-    bin_lanes = lax.broadcasted_iota(jnp.int32, (1, spec.n_bins), 1)
+    h_o[:] = h_in[:]
+    bh_o[:] = bh_in[:]
+
+    cell = lax.broadcasted_iota(jnp.int32, (NNS, c_blk), 0)
+    real = cell < NN
+    i_grid = jnp.where(real, cell // N, jnp.int32(_SENT_I))
+    j_grid = jnp.where(real, cell % N, jnp.int32(_SENT_J))
+    bin_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+
+    def bin_of(gstep):
+        return jnp.minimum(gstep * nb // spec.n_steps, nb - 1)
 
     def one_step(gstep, carry):
-        h, bh, e, be, bs, ni, st, ab, tb = carry
+        h = h_o[:]
+        e, be, bs, ni, st, acc_a, acc_t = carry
 
         w0, w1 = prng.step_words(g, gstep)
         i = w0 % N
@@ -110,11 +184,8 @@ def _kernel(step0_ref, cs_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
         u = prng.uniform01(w1)
 
         fij = i * N + j
-        sel = cell == fij  # (c_blk, NN) one-hot of the chosen column
-        old_k = jnp.sum(
-            jnp.where(sel, h, jnp.int32(0)), axis=1, keepdims=True,
-            dtype=jnp.int32,
-        )
+        sel = cell == fij  # (NNS, C) one-hot of the chosen column
+        old_k = _reduce_rows(jnp.where(sel, h, jnp.int32(0)), NNS)
         new_k = (old_k + 1 + kr) % N
 
         # Gather-free delta-E (see kernels/delta_e.py; verified vs tables).
@@ -137,10 +208,7 @@ def _kernel(step0_ref, cs_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
         dt1 = (q2 == rn2).astype(jnp.int32) - (q2 == ro2).astype(jnp.int32)
         dt2 = (p2 == rn2).astype(jnp.int32) - (p2 == ro2).astype(jnp.int32)
         integrand = s * dz + b * dt2 + ae * dt1
-        d_e = (
-            jnp.sum(integrand, axis=1, keepdims=True, dtype=jnp.int32)
-            + jnp.int32(6)
-        )
+        d_e = _reduce_rows(integrand, NNS) + jnp.int32(6)
 
         gstep_f = jnp.full((1, 1), 0, jnp.float32) + gstep.astype(jnp.float32)
         beta = spec.schedule(gstep_f)
@@ -150,11 +218,14 @@ def _kernel(step0_ref, cs_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
         active = jnp.logical_and(~done, gstep < spec.n_steps)
         upd = jnp.logical_and(accept, active)
 
-        h = jnp.where(jnp.logical_and(sel, upd), new_k, h)
+        h_o[:] = jnp.where(jnp.logical_and(sel, upd), new_k, h)
         e = e + jnp.where(upd, d_e, 0)
 
         improved = jnp.logical_and(upd, e < be)
-        bh = jnp.where(improved, h, bh)
+        # Per-chain proposal sites make the board-shared group-revert trick
+        # a loss here (each revert is a full-plane pass anyway), so the
+        # best-board snapshot stays per-step.
+        bh_o[:] = jnp.where(improved, h_o[:], bh_o[:])
         be = jnp.where(improved, e, be)
         bs = jnp.where(improved, gstep + 1, bs)
         ni = jnp.where(active, jnp.where(improved, 0, ni + 1), ni)
@@ -162,82 +233,94 @@ def _kernel(step0_ref, cs_ref, h_ref, bh_ref, e_ref, be_ref, bs_ref,
             newly = jnp.logical_and(active, ni >= spec.early_stop_patience)
             st = jnp.where(newly, gstep, st)
 
-        # Acceptance bins: the bin index is one scalar for the whole step;
-        # dynamic lane slicing must be 128-aligned, so accumulate through a
-        # one-hot lane mask instead.
-        bin_idx = jnp.minimum(
-            gstep * spec.n_bins // spec.n_steps, spec.n_bins - 1
-        )
-        one_hot = (bin_lanes == bin_idx).astype(jnp.int32)
         inc = active.astype(jnp.int32)
-        ab = ab + one_hot * (inc * accept.astype(jnp.int32))
-        tb = tb + one_hot * inc
+        acc_a = acc_a + inc * accept.astype(jnp.int32)
+        acc_t = acc_t + inc
+        return e, be, bs, ni, st, acc_a, acc_t
 
-        return h, bh, e, be, bs, ni, st, ab, tb
+    zrow = jnp.zeros((1, c_blk), jnp.int32)
+    unroll = _UNROLL if n_inner >= 1024 else _UNROLL_SMALL
+    n_groups = n_inner // unroll
+    # Split bin accumulators assume a group spans <= 2 bins (bin width >=
+    # the unroll factor); narrower toy configs take exact per-step one-hots.
+    exact_bins = spec.n_steps // spec.n_bins < unroll
 
-    n_unrolled = n_inner // _UNROLL
+    def flush_bins(ab, tb, b0, b1, a0, a1, t0, t1):
+        oh0 = (bin_iota == b0).astype(jnp.int32)
+        oh1 = (bin_iota == b1).astype(jnp.int32)
+        ab = ab + oh0 * a0 + oh1 * a1
+        tb = tb + oh0 * t0 + oh1 * t1
+        return ab, tb
 
     def body(t, carry):
-        gstep0 = step0_ref[0, 0] + t * _UNROLL
-        for k in range(_UNROLL):
-            carry = one_step(gstep0 + k, carry)
-        return carry
+        e, be, bs, ni, st, ab, tb = carry
+        g0 = step0 + t * unroll
+        b0 = bin_of(g0)
+        b1 = bin_of(g0 + (unroll - 1))
+        accs = (zrow, zrow, zrow, zrow)  # acc_a0, acc_a1, acc_t0, acc_t1
+        inner = (e, be, bs, ni, st)
+        for k in range(unroll):
+            gstep = g0 + k
+            second = bin_of(gstep) == b1  # scalar; routes counts to a bin
+            e, be, bs, ni, st, da, dt = one_step(gstep, (*inner, zrow, zrow))
+            inner = (e, be, bs, ni, st)
+            if exact_bins:
+                oh = (bin_iota == bin_of(gstep)).astype(jnp.int32)
+                ab = ab + oh * da
+                tb = tb + oh * dt
+            else:
+                a0, a1, t0, t1 = accs
+                is2 = jnp.where(second, 1, 0)
+                accs = (a0 + da * (1 - is2), a1 + da * is2,
+                        t0 + dt * (1 - is2), t1 + dt * is2)
+        if not exact_bins:
+            a0, a1, t0, t1 = accs
+            ab, tb = flush_bins(ab, tb, b0, b1, a0, a1, t0, t1)
+        return (*inner, ab, tb)
 
-    carry = (h_ref[:], bh_ref[:], e_ref[:], be_ref[:], bs_ref[:], ni_ref[:],
-             st_ref[:], ab_ref[:], tb_ref[:])
-    carry = lax.fori_loop(0, n_unrolled, body, carry)
-    # Remainder steps (n_inner not divisible by the unroll factor).
-    for k in range(n_inner - n_unrolled * _UNROLL):
-        gstep = step0_ref[0, 0] + n_unrolled * _UNROLL + k
-        carry = one_step(gstep, carry)
-    h, bh, e, be, bs, ni, st, ab, tb = carry
-    h_out[:] = h
-    bh_out[:] = bh
-    e_out[:] = e
-    be_out[:] = be
-    bs_out[:] = bs
-    ni_out[:] = ni
-    st_out[:] = st
-    ab_out[:] = ab
-    tb_out[:] = tb
+    carry = (e_in[:], be_in[:], bs_in[:], ni_in[:], st_in[:],
+             ab_in[:], tb_in[:])
+    carry = lax.fori_loop(0, n_groups, body, carry)
+    # Tail steps (n_inner not divisible by the unroll factor).
+    e, be, bs, ni, st, ab, tb = carry
+    for k in range(n_inner - n_groups * unroll):
+        gstep = step0 + n_groups * unroll + k
+        e, be, bs, ni, st, da, dt = one_step(
+            gstep, (e, be, bs, ni, st, zrow, zrow))
+        oh = (bin_iota == bin_of(gstep)).astype(jnp.int32)
+        ab = ab + oh * da
+        tb = tb + oh * dt
+    e_o[:] = e
+    be_o[:] = be
+    bs_o[:] = bs
+    ni_o[:] = ni
+    st_o[:] = st
+    ab_o[:] = ab
+    tb_o[:] = tb
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "n_inner"))
-def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
-                       n_inner: int) -> PallasBoardCarry:
-    """One pallas_call advancing every block by n_inner steps."""
-    C, NN = carry.heights.shape
-    n_blocks = carry.block_seeds.shape[0]
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "n_inner", "n_blocks"))
+def _run_block_segment_t(st, step0, spec: ChainSpec, n_inner: int,
+                         n_blocks: int):
+    """One pallas_call advancing every block by n_inner steps (internal)."""
+    NNS, C = st[0].shape
     c_blk = C // n_blocks
     nb = spec.n_bins
 
-    def chain_spec_(shape):
-        return pl.BlockSpec(shape, lambda b: (b, 0), memory_space=pltpu.VMEM)
+    def chain_spec_(rows):
+        return pl.BlockSpec((rows, c_blk), lambda b: (0, b),
+                            memory_space=pltpu.VMEM)
 
+    state_specs = ([chain_spec_(NNS)] * 2 + [chain_spec_(1)] * 5
+                   + [chain_spec_(nb)] * 2)
+    rows_of = [NNS] * 2 + [1] * 5 + [nb] * 2
     in_specs = [
-        pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),  # step0
-        chain_spec_((c_blk, 1)),       # chain_seeds (read-only)
-        chain_spec_((c_blk, NN)),      # heights
-        chain_spec_((c_blk, NN)),      # best_heights
-        chain_spec_((c_blk, 1)),       # energy
-        chain_spec_((c_blk, 1)),       # best_energy
-        chain_spec_((c_blk, 1)),       # best_step
-        chain_spec_((c_blk, 1)),       # no_improve
-        chain_spec_((c_blk, 1)),       # stop_step
-        chain_spec_((c_blk, nb)),      # accept_bins
-        chain_spec_((c_blk, nb)),      # total_bins
-    ]
-    out_specs = tuple(in_specs[2:])
-    out_shapes = (
-        jax.ShapeDtypeStruct((C, NN), jnp.int32),
-        jax.ShapeDtypeStruct((C, NN), jnp.int32),
-        jax.ShapeDtypeStruct((C, 1), jnp.int32),
-        jax.ShapeDtypeStruct((C, 1), jnp.int32),
-        jax.ShapeDtypeStruct((C, 1), jnp.int32),
-        jax.ShapeDtypeStruct((C, 1), jnp.int32),
-        jax.ShapeDtypeStruct((C, 1), jnp.int32),
-        jax.ShapeDtypeStruct((C, nb), jnp.int32),
-        jax.ShapeDtypeStruct((C, nb), jnp.int32),
+        pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        chain_spec_(1),  # chain_seeds row (read-only)
+    ] + state_specs
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((r, C), jnp.int32) for r in rows_of
     )
     step0_arr = (jnp.zeros((1, 1), jnp.int32) + step0).astype(jnp.int32)
 
@@ -245,21 +328,14 @@ def _run_block_segment(carry: PallasBoardCarry, step0, spec: ChainSpec,
         functools.partial(_kernel, spec=spec, n_inner=n_inner),
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 6: 4, 7: 5, 8: 6,
-                              9: 7, 10: 8},
-        # (C_blk, 1) scalar columns tile-pad to 128 lanes, so the default
-        # 16 MB scoped-vmem budget overflows at 1024-chain blocks; v5e has
-        # 128 MB of VMEM.
+        out_specs=tuple(state_specs),
+        out_shape=out_shape,
+        input_output_aliases={i + 2: i for i in range(len(rows_of))},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(step0_arr, carry.chain_seeds, carry.heights, carry.best_heights,
-      carry.energy, carry.best_energy, carry.best_step, carry.no_improve,
-      carry.stop_step, carry.accept_bins, carry.total_bins)
-
-    return PallasBoardCarry(carry.block_seeds, carry.chain_seeds, *outs)
+    )(step0_arr, st[9], *st[:9])
+    return tuple(outs) + (st[9],)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
@@ -323,14 +399,23 @@ def init_carry_batch(seeds, spec: ChainSpec,
 @functools.partial(jax.jit, static_argnames=("spec", "n_outer"))
 def run_segment(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
                 n_outer: int):
-    """Segment API matching chain/board.py: n_outer chunks of stride steps."""
+    """Segment API matching chain/board.py: n_outer chunks of stride steps.
+
+    The external carry keeps the chains-major layout; the transposed planes
+    are derived once per segment and persist across the chunk scan.
+    """
     stride = spec.history_stride
+    st = _internal_state(carry, spec.N)
+    block_seeds = carry.block_seeds
+    n_blocks = carry.block_seeds.shape[0]
 
-    def chunk(c, outer_idx):
-        c = _run_block_segment(c, outer_idx * stride, spec, stride)
-        return c, c.energy[:, 0]
+    def chunk(s, outer_idx):
+        s = _run_block_segment_t(s, outer_idx * stride, spec, stride,
+                                 n_blocks)
+        return s, s[2][0]  # energy row -> (C,)
 
-    return lax.scan(chunk, carry, start_outer + jnp.arange(n_outer))
+    st, ys = lax.scan(chunk, st, start_outer + jnp.arange(n_outer))
+    return _external_carry(block_seeds, st, spec.N), ys
 
 
 @functools.cache
