@@ -49,7 +49,9 @@ from mcqueens.kernels import prng
 # Chains per VMEM block along the lane axis.
 DEFAULT_BLOCK = 2048
 _LANE = 128
-_UNROLL = 8
+_UNROLL = 32  # production segment lengths; tiny segments use 8 (results
+# are unroll-invariant: the counter PRNG keys on the global step)
+_UNROLL_SMALL = 8
 
 import numpy as np
 
@@ -282,19 +284,20 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, qc_in, occ_in, bqc_in,
         return e, be, bs, ni, st, acc_a, acc_t
 
     zrow = jnp.zeros((1, c_blk), jnp.int32)
-    n_groups = n_inner // _UNROLL
-    # Split accumulators assume a group spans <= 2 bins (bin width >=
-    # _UNROLL); toy configs with narrower bins use exact per-step one-hots.
-    exact_bins = spec.n_steps // spec.n_bins < _UNROLL
+    unroll = _UNROLL if n_inner >= 1024 else _UNROLL_SMALL
+    n_groups = n_inner // unroll
+    # Split accumulators assume a group spans <= 2 bins (bin width >= the
+    # unroll factor); toy configs with narrower bins use per-step one-hots.
+    exact_bins = spec.n_steps // spec.n_bins < unroll
 
     def body(t, carry):
         e, be, bs, ni, st, ab, tb = carry
-        g0 = step0 + t * _UNROLL
+        g0 = step0 + t * unroll
         b0 = bin_of(g0)
-        b1 = bin_of(g0 + (_UNROLL - 1))
+        b1 = bin_of(g0 + (unroll - 1))
         accs = (zrow, zrow, zrow, zrow)
         inner = (e, be, bs, ni, st)
-        for k in range(_UNROLL):
+        for k in range(unroll):
             gstep = g0 + k
             second = bin_of(gstep) == b1
             e, be, bs, ni, st, da, dt = one_step(gstep, (*inner, zrow, zrow))
@@ -320,8 +323,8 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, qc_in, occ_in, bqc_in,
              ab_in[:], tb_in[:])
     carry = lax.fori_loop(0, n_groups, body, carry)
     e, be, bs, ni, st, ab, tb = carry
-    for k in range(n_inner - n_groups * _UNROLL):
-        gstep = step0 + n_groups * _UNROLL + k
+    for k in range(n_inner - n_groups * unroll):
+        gstep = step0 + n_groups * unroll + k
         e, be, bs, ni, st, da, dt = one_step(
             gstep, (e, be, bs, ni, st, zrow, zrow))
         oh = (bin_iota == bin_of(gstep)).astype(jnp.int32)
