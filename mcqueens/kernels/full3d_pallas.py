@@ -259,7 +259,8 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, qc_in, occ_in, bqc_in,
         qi_o[:] = jnp.where(sel_upd, nx, qi)
         qj_o[:] = jnp.where(sel_upd, ny, qj)
         qk_o[:] = jnp.where(sel_upd, nz, qk)
-        qc_o[:] = jnp.where(sel_upd, new_cell, qc)
+        qc_new = jnp.where(sel_upd, new_cell, qc)
+        qc_o[:] = qc_new
 
         updi = upd.astype(jnp.int32)
         old_mask = jnp.where(iota_w == old_cell // 32,
@@ -270,7 +271,7 @@ def _kernel(step0_ref, cs_ref, qi_in, qj_in, qk_in, qc_in, occ_in, bqc_in,
 
         e = e + jnp.where(upd, d_e, 0)
         improved = jnp.logical_and(upd, e < be)
-        bqc_o[:] = jnp.where(improved, qc_o[:], bqc_o[:])
+        bqc_o[:] = jnp.where(improved, qc_new, bqc_o[:])
         be = jnp.where(improved, e, be)
         bs = jnp.where(improved, gstep + 1, bs)
         ni = jnp.where(active, jnp.where(improved, 0, ni + 1), ni)

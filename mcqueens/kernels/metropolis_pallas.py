@@ -218,14 +218,16 @@ def _kernel(step0_ref, cs_in, h_in, bh_in, e_in, be_in, bs_in,
         active = jnp.logical_and(~done, gstep < spec.n_steps)
         upd = jnp.logical_and(accept, active)
 
-        h_o[:] = jnp.where(jnp.logical_and(sel, upd), new_k, h)
+        h_new = jnp.where(jnp.logical_and(sel, upd), new_k, h)
+        h_o[:] = h_new
         e = e + jnp.where(upd, d_e, 0)
 
         improved = jnp.logical_and(upd, e < be)
         # Per-chain proposal sites make the board-shared group-revert trick
         # a loss here (each revert is a full-plane pass anyway), so the
-        # best-board snapshot stays per-step.
-        bh_o[:] = jnp.where(improved, h_o[:], bh_o[:])
+        # best-board snapshot stays per-step (reusing the register value,
+        # not re-reading the plane just written).
+        bh_o[:] = jnp.where(improved, h_new, bh_o[:])
         be = jnp.where(improved, e, be)
         bs = jnp.where(improved, gstep + 1, bs)
         ni = jnp.where(active, jnp.where(improved, 0, ni + 1), ni)
