@@ -56,27 +56,50 @@ def main() -> None:
         args.segment_steps = 2048
         args.target_seconds = 1.0
 
+    per_chip = _measure(args.n, args.chains, args.segment_steps,
+                        args.target_seconds, args.kernel)
+    record = {
+        "metric": (
+            f"proposed moves/sec/chip (board N={args.n}, "
+            f"{args.chains} chains, {args.kernel} kernel)"
+        ),
+        "value": per_chip,
+        "unit": "moves/s/chip",
+        "vs_baseline": per_chip / BASELINE_MOVES_PER_SEC,
+    }
+    if not args.quick and args.chains != 4096:
+        # Also publish the BASELINE.json-letter configuration (4096 chains)
+        # next to the peak configuration, so the headline is checkable at
+        # the stated config, not just at the throughput-optimal one.
+        letter = _measure(args.n, 4096, args.segment_steps,
+                          args.target_seconds, args.kernel)
+        record["chains_4096_value"] = letter
+        record["chains_4096_vs_baseline"] = letter / BASELINE_MOVES_PER_SEC
+    print(json.dumps(record))
+
+
+def _measure(n, chains, segment_steps, target_seconds, kernel) -> float:
     n_devices = jax.device_count()
     # A long-horizon schedule: the bench run is the opening stretch of a big
     # anneal.  n_steps bounded so bin arithmetic stays exact in int32.
     horizon = 2 ** 24
     spec = ChainSpec(
-        N=args.n,
+        N=n,
         n_steps=horizon,
         schedule=build_schedule(
             "linear_annealing", horizon, beta_start=1.0, beta_end=5.0
         ),
         init_mode="random",
         mcmc_type="board",
-        kernel=args.kernel,
-        history_stride=args.segment_steps,
+        kernel=kernel,
+        history_stride=segment_steps,
     )
-    seeds = np.arange(args.chains, dtype=np.uint32)
-    if args.kernel == "pallas_shared":
+    seeds = np.arange(chains, dtype=np.uint32)
+    if kernel == "pallas_shared":
         from mcqueens.kernels import board_shared as mod
 
         carry = mod.init_carry_batch(seeds, spec)
-    elif args.kernel == "pallas":
+    elif kernel == "pallas":
         mod = metropolis_pallas
         carry = mod.init_carry_batch(seeds, spec)
     else:
@@ -97,28 +120,13 @@ def main() -> None:
     while True:
         carry, _ = mod.run_segment(carry, np.int32(seg), spec, 1)
         seg += 1
-        steps_done += args.segment_steps
+        steps_done += segment_steps
         _ = np.asarray(carry.energy)  # hard sync via device->host transfer
         elapsed = time.time() - t0
-        if elapsed >= args.target_seconds:
+        if elapsed >= target_seconds:
             break
-    moves = steps_done * args.chains
-    moves_per_sec = moves / elapsed
-    per_chip = moves_per_sec / max(n_devices, 1)
-
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"proposed moves/sec/chip (board N={args.n}, "
-                    f"{args.chains} chains, {args.kernel} kernel)"
-                ),
-                "value": per_chip,
-                "unit": "moves/s/chip",
-                "vs_baseline": per_chip / BASELINE_MOVES_PER_SEC,
-            }
-        )
-    )
+    moves = steps_done * chains
+    return moves / elapsed / max(n_devices, 1)
 
 
 if __name__ == "__main__":

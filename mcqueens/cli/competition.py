@@ -47,6 +47,16 @@ def main(argv=None) -> int:
                              "ladder level c %% L.")
     parser.add_argument("--mesh", action="store_true")
     parser.add_argument("--outdir", default=".")
+    parser.add_argument("--checkpoint-dir", default=None, metavar="DIR",
+                        help="periodic checkpoint/resume: a killed search "
+                             "restarts from its last completed segment "
+                             "(bit-identical to an uninterrupted run); "
+                             "works for both plain and --tempering searches")
+    parser.add_argument("--exchange-interval", type=int, default=1,
+                        metavar="SEGS",
+                        help="tempering: replica-exchange sweeps every this "
+                             "many history-stride segments (swap cadence "
+                             "decoupled from history cadence)")
     parser.add_argument("--resume-from", default=None, metavar="BOARD_TXT",
                         help="warm-start every run from a previously exported "
                              "best_heights file (i,j,k lines)")
@@ -66,6 +76,15 @@ def main(argv=None) -> int:
             stride = max(1, args.n_steps // 1024)
         else:
             stride = 1 if args.n_runs <= 64 else max(1, args.n_steps // 1024)
+
+    checkpointer = None
+    if args.checkpoint_dir:
+        from mcqueens.utils.checkpoint import Checkpointer
+
+        tag = (f"competition_N{args.n}_r{args.n_runs}_s{args.seed}"
+               f"_{args.kernel}" + (f"_T{args.tempering}" if args.tempering
+                                    else ""))
+        checkpointer = Checkpointer(args.checkpoint_dir, tag=tag)
 
     initial_states = None
     if args.resume_from:
@@ -94,7 +113,9 @@ def main(argv=None) -> int:
         out = tempering_mod.run_tempered(
             args.seed + np.arange(args.n_runs, dtype=np.uint32), spec,
             ladder, swap_seed=args.seed, initial_states=initial_states,
-            verbose=True,
+            verbose=True, exchange_interval=args.exchange_interval,
+            mesh=mesh_mod.make_mesh() if args.mesh else None,
+            checkpointer=checkpointer,
         )
         order = np.argsort(out["best_energy"], kind="stable")
         shown = [int(out["best_energy"][r]) for r in order[:20]]
@@ -128,6 +149,7 @@ def main(argv=None) -> int:
         res = runner.run_chains(
             args.seed + np.arange(args.n_runs, dtype=np.uint32), spec,
             mesh=mesh, verbose=True, initial_states=initial_states,
+            checkpointer=checkpointer,
         )
     else:
         res = runner.run_experiment(
@@ -135,6 +157,7 @@ def main(argv=None) -> int:
             schedule=schedule, n_runs=args.n_runs, base_seed=args.seed,
             mcmc_type="board", early_stop_patience=args.early_stop_patience,
             verbose=True, mesh=mesh, history_stride=stride, kernel=args.kernel,
+            checkpointer=checkpointer,
         )
 
     order = np.argsort(res.best_energy, kind="stable")

@@ -28,6 +28,10 @@ unchanged):
       mesh: bool | int                    # shard chains over devices
       checkpoint_dir: str | null          # segment checkpoint/resume
       profile_dir: str | null             # jax.profiler trace output
+      allow_correlated_runs: bool         # required (true) to run the
+                                          # pallas_shared kernel under the
+                                          # experiment drivers, whose runs
+                                          # are otherwise independent
 """
 
 from __future__ import annotations
@@ -53,6 +57,7 @@ class TpuConfig:
     mesh: Any = False          # False | True (all devices) | int (first n)
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
+    allow_correlated_runs: bool = False  # opt-in for pallas_shared sweeps
 
 
 @dataclasses.dataclass
@@ -120,4 +125,18 @@ def parse_config(raw: dict) -> Config:
     if unknown:
         raise ValueError(f"Unknown tpu config keys: {sorted(unknown)}")
     tpu = TpuConfig(**tpu_raw)
+    if tpu.kernel == "pallas_shared" and not tpu.allow_correlated_runs:
+        # The four reference experiment types report statistics over
+        # *independent* runs (``/root/reference/experiments.py:513-533``);
+        # the shared-site kernel correlates chains within each VMEM block
+        # (shared proposal-site streams), which silently breaks that
+        # contract.  Throughput work (bench/competition/tempering) opts in
+        # explicitly; parity sweeps must say they mean it.
+        raise ValueError(
+            "tpu.kernel 'pallas_shared' shares proposal sites across each "
+            "chain block, so the experiment drivers' runs would NOT be "
+            "statistically independent (the reference's n_runs contract). "
+            "Use kernel 'pallas' or 'tables', or set "
+            "tpu.allow_correlated_runs: true to accept correlated runs."
+        )
     return Config(raw=raw, experiment_type=experiment_type, common=common, tpu=tpu)

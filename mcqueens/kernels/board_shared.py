@@ -171,11 +171,16 @@ def _external_carry(block_seeds, st, N: int) -> PallasBoardCarry:
 
 def _kernel(step0_ref, seed_ref, cs_in, *refs,
             spec: ChainSpec, n_inner: int, tempered: bool = False,
-            track_best: bool = True):
+            freeze: bool = False, track_best: bool = True):
     if tempered:
         # Per-chain beta scale row (parallel tempering): effective beta for a
         # chain is spec.schedule(step) * beta_scale[chain].
         beta_in, *refs = refs
+    if freeze:
+        # Per-chain replay horizon: a chain stops updating at step
+        # freeze_row[chain] (used by recover_best_heights to rebuild each
+        # chain's board exactly as of its best step).
+        frz_in, *refs = refs
     (r_in, c_in, sk_in, ak_in, bh_in,
      e_in, be_in, bs_in, ni_in, st_in, ab_in, tb_in,
      r_o, c_o, sk_o, ak_o, bh_o,
@@ -188,6 +193,7 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
     seed = seed_ref[pl.program_id(0), 0]
     step0 = step0_ref[0, 0]
     beta_scale = beta_in[:] if tempered else None
+    frz_row = frz_in[:] if freeze else None
     # The shared SITE stream is block-keyed by design; per-chain draws
     # (new_k, accept) are keyed by each chain's own seed (layout-free).
     site_base = seed * jnp.int32(0x2545F491) + _SITE_SALT
@@ -274,6 +280,8 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
 
         done = st < spec.n_steps
         active = jnp.logical_and(~done, gstep < spec.n_steps)
+        if frz_row is not None:
+            active = jnp.logical_and(active, gstep < frz_row)
         upd = jnp.logical_and(accept, active)
 
         mi_upd = jnp.logical_and(iota == i, upd)  # col/skew store mask
@@ -395,17 +403,22 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
 
 
 def _block_segment_call(st, block_seeds, step0, spec: ChainSpec,
-                        n_inner: int, beta_row=None, track_best: bool = True):
+                        n_inner: int, beta_row=None, freeze_row=None,
+                        track_best: bool = True):
     """One pallas_call advancing every block by n_inner steps (internal state).
 
     ``beta_row`` — optional (1, C) float32 per-chain beta scale (parallel
     tempering); effective beta = spec.schedule(step) * beta_row[chain].
+    ``freeze_row`` — optional (1, C) int32 per-chain replay horizon; a chain
+    makes no state/stat updates at steps >= its horizon
+    (:func:`recover_best_heights`).
     """
     S, C = st[0].shape
     n_blocks = block_seeds.shape[0]
     c_blk = C // n_blocks
     nb = spec.n_bins
     tempered = beta_row is not None
+    freeze = freeze_row is not None
 
     def chain_spec_(rows):
         return pl.BlockSpec((rows, c_blk), lambda b: (0, b),
@@ -415,12 +428,13 @@ def _block_segment_call(st, block_seeds, step0, spec: ChainSpec,
     rows = [chain_spec_(1)] * 5
     bins = [chain_spec_(nb)] * 2
     beta_specs = [chain_spec_(1)] if tempered else []
+    freeze_specs = [chain_spec_(1)] if freeze else []
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((n_blocks, 1), lambda b: (0, 0),
                      memory_space=pltpu.SMEM),
         chain_spec_(1),  # chain_seeds row (read-only)
-        *beta_specs, *big, *rows, *bins,
+        *beta_specs, *freeze_specs, *big, *rows, *bins,
     ]
     out_specs = tuple(big + rows + bins)
     out_shapes = tuple(
@@ -430,11 +444,13 @@ def _block_segment_call(st, block_seeds, step0, spec: ChainSpec,
     )
     step0_arr = (jnp.zeros((1, 1), jnp.int32) + step0).astype(jnp.int32)
     beta_args = (beta_row,) if tempered else ()
-    n_state_in = 3 + (1 if tempered else 0)
+    freeze_args = (freeze_row,) if freeze else ()
+    n_state_in = 3 + len(beta_args) + len(freeze_args)
 
     outs = pl.pallas_call(
         functools.partial(_kernel, spec=spec, n_inner=n_inner,
-                          tempered=tempered, track_best=track_best),
+                          tempered=tempered, freeze=freeze,
+                          track_best=track_best),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -443,7 +459,7 @@ def _block_segment_call(st, block_seeds, step0, spec: ChainSpec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(step0_arr, block_seeds, st[12], *beta_args, *st[:12])
+    )(step0_arr, block_seeds, st[12], *beta_args, *freeze_args, *st[:12])
     return tuple(outs) + (st[12],)
 
 
@@ -519,8 +535,10 @@ def run_segment(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
 
     ``track_best=False`` drops the per-step best-board snapshot (the only
     full-(S, C) pass in the hot loop); ``best_energy``/``best_step`` stay
-    exact and the board can be recovered afterwards with
-    :func:`recover_best_heights` (deterministic counter-PRNG replay).
+    exact and the boards can be recovered afterwards with
+    :func:`recover_best_heights`, which replays the deterministic
+    counter-PRNG trajectory from the initial state and freezes each chain at
+    its own ``best_step`` (tested bitwise-equal to ``track_best=True``).
     """
     stride = spec.history_stride
     st = _internal_state(carry, spec.N)
@@ -560,6 +578,78 @@ def run_segment_tempered(carry: PallasBoardCarry, beta_scale, start_outer,
     return _external_carry(block_seeds, st, spec.N), ys
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "n_outer"))
+def _run_segment_frozen(carry: PallasBoardCarry, freeze_row, start_outer,
+                        spec: ChainSpec, n_outer: int):
+    """:func:`run_segment` with per-chain replay horizons (no best tracking)."""
+    stride = spec.history_stride
+    st = _internal_state(carry, spec.N)
+    block_seeds = carry.block_seeds
+
+    def chunk(s, outer_idx):
+        s = _block_segment_call(s, block_seeds, outer_idx * stride, spec,
+                                stride, freeze_row=freeze_row,
+                                track_best=False)
+        return s, s[5][0]
+
+    st, _ = lax.scan(chunk, st, start_outer + jnp.arange(n_outer))
+    return _external_carry(block_seeds, st, spec.N)
+
+
+def recover_best_heights(carry: PallasBoardCarry, spec: ChainSpec,
+                         initial_states=None, verify: bool = True):
+    """Rebuild the best boards of a ``track_best=False`` run by replay.
+
+    The counter-hash streams (:mod:`mcqueens.kernels.prng`) make every
+    trajectory a pure function of (chain seed, block seed, step), so the run
+    can be replayed exactly from the initial state; each chain is frozen at
+    its own ``best_step`` (the step count at which its best energy was
+    reached), leaving its board bitwise equal to the best board a
+    ``track_best=True`` run would have snapshotted.
+
+    Cost: one ``track_best=False`` pass over ``max(best_step)`` steps — pay
+    the ~4% best-tracking overhead only when a new global best actually
+    needs exporting, instead of on every step of a long search.
+
+    Args:
+        carry: the final carry of a :func:`run_segment` run (any
+            ``track_best`` setting; ``chain_seeds``/``block_seeds`` identify
+            the streams, ``best_step``/``best_energy`` drive the replay).
+        spec: the same spec the run used.
+        initial_states: the warm starts the run was given, if any (the
+            replay must start from the same boards).
+        verify: assert each replayed board's incremental energy equals the
+            recorded ``best_energy`` (host-side check, cheap).
+
+    Returns:
+        (C, N, N) int32 best boards (C includes any block padding).
+    """
+    seeds = np.asarray(carry.chain_seeds).reshape(-1).astype(np.uint32)
+    C = int(seeds.shape[0])
+    n_blocks = int(carry.block_seeds.shape[0])
+    block = C // n_blocks
+    fresh = init_carry_batch(seeds, spec, block=block,
+                             initial_states=initial_states)
+    best_step = np.asarray(carry.best_step).reshape(1, -1).astype(np.int32)
+    freeze_row = jnp.asarray(best_step)
+    # Replay only as far as the latest best step (whole stride chunks).
+    n_outer = min(spec.n_outer,
+                  max(1, -(-int(best_step.max()) // spec.history_stride)))
+    replayed = _run_segment_frozen(fresh, freeze_row, jnp.int32(0), spec,
+                                   n_outer)
+    heights = np.asarray(replayed.heights).reshape(C, spec.N, spec.N)
+    if verify:
+        want = np.asarray(carry.best_energy).reshape(-1)
+        got = np.asarray(replayed.energy).reshape(-1)
+        if not np.array_equal(want, got):
+            bad = int(np.sum(want != got))
+            raise AssertionError(
+                f"replay mismatch on {bad}/{C} chains: replayed energies "
+                f"do not match recorded best energies (was the run warm-"
+                f"started? pass the same initial_states)")
+    return heights
+
+
 @functools.cache
 def _sharded_segment_fn(spec: ChainSpec, n_outer: int, mesh):
     from jax.sharding import PartitionSpec as P
@@ -583,3 +673,37 @@ def run_segment_sharded(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
                         n_outer: int, mesh):
     """run_segment over a chains mesh: each shard advances its whole blocks."""
     return _sharded_segment_fn(spec, n_outer, mesh)(carry, start_outer)
+
+
+@functools.cache
+def _sharded_tempered_fn(spec: ChainSpec, n_outer: int, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    from mcqueens.dist.mesh import CHAINS_AXIS
+
+    carry_specs = PallasBoardCarry(*([P(CHAINS_AXIS)] * len(
+        PallasBoardCarry._fields)))
+    return jax.jit(
+        jax.shard_map(
+            lambda c, b, s: run_segment_tempered(c, b, s, spec, n_outer),
+            mesh=mesh,
+            in_specs=(carry_specs, P(CHAINS_AXIS), P()),
+            out_specs=(carry_specs, P(None, CHAINS_AXIS)),
+            check_vma=False,
+        )
+    )
+
+
+def run_segment_tempered_sharded(carry: PallasBoardCarry, beta_scale,
+                                 start_outer, spec: ChainSpec, n_outer: int,
+                                 mesh):
+    """Tempered segments over a chains mesh (flagship search at pod scale).
+
+    Each shard advances its own whole VMEM blocks with its own slice of the
+    per-chain beta row; ladder groups are block-local (the caller guarantees
+    the per-shard chain count is a multiple of the ladder length), so the
+    segment phase needs zero cross-chip communication — only the host-side
+    best reduction ever crosses chips (SURVEY §5.8).
+    """
+    return _sharded_tempered_fn(spec, n_outer, mesh)(
+        carry, beta_scale, start_outer)

@@ -37,6 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcqueens.chain.spec import ChainSpec
+from mcqueens.kernels import prng as kprng
+
+_GROUP_K = np.int32(np.uint32(0xB5297A4D))  # group-id stride
+_PAIR_K = np.int32(np.uint32(0x1B873593))   # pair-id stride
+_ROUND_K = np.int32(np.uint32(0x9E3779B9))  # round stride
 
 
 def geometric_ladder(beta_min: float, beta_max: float, n_levels: int):
@@ -48,8 +53,19 @@ def geometric_ladder(beta_min: float, beta_max: float, n_levels: int):
     return np.geomspace(beta_min, beta_max, n_levels).astype(np.float32)
 
 
+def round_key(swap_seed: int, round_idx: int):
+    """int32 counter for one exchange sweep's accept draws.
+
+    A pure function of (swap_seed, round) so resumed runs replay the same
+    swap stream without checkpointing RNG state.
+    """
+    mixed = (np.uint64(np.uint32(swap_seed)) * np.uint64(np.uint32(kprng._CHAIN_K))
+             + np.uint64(np.uint32(round_idx)) * np.uint64(np.uint32(_ROUND_K)))
+    return np.int32(np.uint32(mixed & np.uint64(0xFFFFFFFF)))
+
+
 @functools.partial(jax.jit, static_argnames=("n_levels", "phase"))
-def exchange(betas, energies, key, n_levels: int, phase: int):
+def exchange(betas, energies, rkey, n_levels: int, phase: int):
     """One replica-exchange sweep: swap betas between adjacent ladder levels.
 
     Args:
@@ -58,7 +74,10 @@ def exchange(betas, energies, key, n_levels: int, phase: int):
             beyond the last full group keep their beta untouched.
         energies: (C,) current energies (the exact incremental energies the
             kernels carry — no recompute needed).
-        key: PRNG key for the swap accept draws.
+        rkey: int32 sweep counter (see :func:`round_key`).  Accept draws are
+            counter-hashed per (group, pair), so a group's swap decision is
+            independent of the total chain count and of any mesh layout —
+            the same invariance contract as the chain streams.
         phase: 0 or 1 — which alternation of adjacent pairs to attempt.
 
     Returns:
@@ -75,7 +94,18 @@ def exchange(betas, energies, key, n_levels: int, phase: int):
     el, eh = e[:, lo], e[:, hi]
     # A = min(1, exp((beta_l - beta_h)(E_l - E_h))); log-space comparison.
     log_a = (bl - bh) * (el - eh)
-    u = jax.random.uniform(key, bl.shape, minval=1e-38)
+    gids = jnp.arange(G, dtype=jnp.int32)[:, None]
+    pids = jnp.asarray(lo, jnp.int32)[None, :]
+    # The salt keeps the trivial input 0 away from lowbias32's zero fixed
+    # point (hash(0) == 0 would make group 0's first draw exactly 0.0).
+    w = kprng.lowbias32(
+        kprng.lowbias32(jnp.int32(rkey) ^ (gids * _GROUP_K) ^ _PAIR_K)
+        + pids * _PAIR_K
+    )
+    # Clamp away u == 0 (a 2^-24 event): log-space compare needs u > 0.
+    # float32 1e-12 is normal; the distortion (swaps with acceptance below
+    # 1e-12 become impossible) is far under the test tolerances.
+    u = jnp.maximum(kprng.uniform01(w), jnp.float32(1e-12))
     swap = jnp.log(u) < log_a
     b = b.at[:, lo].set(jnp.where(swap, bh, bl))
     b = b.at[:, hi].set(jnp.where(swap, bl, bh))
@@ -91,8 +121,11 @@ def run_tempered(
     initial_states=None,
     verbose: bool = False,
     record_betas: bool = False,
+    exchange_interval: int = 1,
+    mesh=None,
+    checkpointer=None,
 ):
-    """Run parallel-tempered chains; exchange every ``history_stride`` steps.
+    """Run parallel-tempered chains with periodic replica exchange.
 
     Args:
         seeds: (R,) per-chain integer seeds (R should be a multiple of
@@ -106,6 +139,19 @@ def run_tempered(
         initial_states: optional (R, N, N) warm starts.
         record_betas: also return the per-round (C,) beta assignments
             (memory: rounds x chains floats — small shapes only).
+        exchange_interval: kernel segments (of ``history_stride`` steps each)
+            between replica-exchange sweeps.  History cadence and swap
+            cadence are independent knobs: swaps happen every
+            ``exchange_interval * history_stride`` steps while the energy
+            history keeps one point per ``history_stride`` steps.
+        mesh: optional 1-D chains mesh; segments run under ``shard_map``
+            (each shard advances its own whole VMEM blocks) and the exchange
+            sweep is shard-local — ladder groups never straddle shards
+            because the per-shard chain count is a multiple of the block
+            size, which must be a multiple of ``len(ladder)``.
+        checkpointer: optional :class:`mcqueens.utils.checkpoint.Checkpointer`
+            — saves (carry, betas, key) after every round and resumes a
+            killed search bit-identically (same rounds, same swap stream).
 
     Returns:
         dict with best_energy/best_state (over real chains), final betas,
@@ -118,6 +164,8 @@ def run_tempered(
     if spec.kernel != "pallas_shared" or spec.mcmc_type != "board":
         raise ValueError("run_tempered requires kernel='pallas_shared', "
                          "mcmc_type='board'")
+    if exchange_interval < 1:
+        raise ValueError("exchange_interval must be >= 1")
     ladder = np.asarray(ladder, np.float32)
     n_levels = int(ladder.shape[0])
     seeds = np.asarray(seeds, dtype=np.uint32)
@@ -126,32 +174,87 @@ def run_tempered(
         initial_states = runner_mod.validate_initial_states(
             initial_states, spec, n_runs)
 
+    block = None
+    if mesh is not None:
+        from mcqueens.dist import mesh as mesh_mod
+
+        # Every device must own whole VMEM blocks (runner.py sizing rule):
+        # pick the block from one device's share and pad the seed list so
+        # the padded chain count is exactly n_dev * k * block.
+        n_dev = int(mesh.devices.size)
+        per_dev = -(-n_runs // n_dev)
+        block = board_shared.block_size(per_dev)
+        per_dev = -(-per_dev // block) * block
+        total = per_dev * n_dev
+        if total > n_runs:
+            pad = seeds[-1] + 1 + np.arange(total - n_runs, dtype=np.uint32)
+            seeds_padded = np.concatenate([seeds, pad])
+        else:
+            seeds_padded = seeds
+        if block % n_levels:
+            raise ValueError(
+                f"VMEM block size {block} must be a multiple of the ladder "
+                f"length {n_levels} (ladder groups must not straddle "
+                f"devices)")
+    else:
+        seeds_padded = seeds
     carry = board_shared.init_carry_batch(
-        seeds, spec, initial_states=initial_states)
+        seeds_padded, spec, block=block, initial_states=initial_states)
     C = int(carry.energy.shape[0])
     reps = -(-C // n_levels)
     betas = jnp.asarray(np.tile(ladder, reps)[:C])
+    if mesh is not None:
+        carry = mesh_mod.shard_chains(carry, mesh)
+        betas = jax.device_put(betas, mesh_mod.chain_sharding(mesh))
 
-    key = jax.random.PRNGKey(np.uint32(swap_seed))
     e0 = np.asarray(carry.energy).reshape(-1)
     history = [e0[None, :]]
     betas_hist = []
+    n_rounds = -(-spec.n_outer // exchange_interval)
+    start_round = 0
+    if checkpointer is not None:
+        from mcqueens.utils import checkpoint as ckpt_mod
+
+        fp = ckpt_mod.spec_fingerprint(spec, seeds)
+        fp = ckpt_mod.extend_fingerprint(
+            fp, ladder, np.uint32(swap_seed), np.int64(exchange_interval))
+        resumed = checkpointer.restore(carry, seg_outer=exchange_interval,
+                                       fingerprint=fp, n_extras=1)
+        if resumed is not None:
+            carry, start_round, chunks, extras = resumed
+            betas = jnp.asarray(extras[0])
+            if mesh is not None:
+                carry = mesh_mod.shard_chains(carry, mesh)
+                betas = jax.device_put(betas, mesh_mod.chain_sharding(mesh))
+            history = [np.asarray(c) for c in chunks]
     t0 = time.time()
-    for r in range(spec.n_outer):
-        carry, ys = board_shared.run_segment_tempered(
-            carry, betas, np.int32(r), spec, 1)
+    for r in range(start_round, n_rounds):
+        seg0 = r * exchange_interval
+        n_seg = min(exchange_interval, spec.n_outer - seg0)
+        if mesh is None:
+            carry, ys = board_shared.run_segment_tempered(
+                carry, betas, np.int32(seg0), spec, n_seg)
+        else:
+            carry, ys = board_shared.run_segment_tempered_sharded(
+                carry, betas, np.int32(seg0), spec, n_seg, mesh)
         history.append(np.asarray(ys))
         if record_betas:
             # The betas under which this round's samples were generated.
             betas_hist.append(np.asarray(betas))
-        if r + 1 < spec.n_outer:
-            key, sub = jax.random.split(key)
-            betas = exchange(betas, carry.energy.reshape(-1), sub,
-                             n_levels, r % 2)
-        if verbose and (r + 1) % max(1, spec.n_outer // 10) == 0:
+        if r + 1 < n_rounds:
+            # The swap stream is a pure function of (swap_seed, r): resumes
+            # replay it bit-identically with no RNG state in the checkpoint.
+            betas = exchange(betas, carry.energy.reshape(-1),
+                             round_key(swap_seed, r), n_levels, r % 2)
+        if checkpointer is not None:
+            checkpointer.save(
+                carry, r + 1, history, seg_outer=exchange_interval,
+                fingerprint=fp, extras=(np.asarray(betas),),
+            )
+        if verbose and (r + 1) % max(1, n_rounds // 10) == 0:
             e = np.asarray(carry.energy).reshape(-1)[:n_runs]
             be = np.asarray(carry.best_energy).reshape(-1)[:n_runs]
-            print(f"[tempering] round {r + 1}/{spec.n_outer}: "
+            print(f"[tempering] round {r + 1}/{n_rounds}: "
                   f"mean E={e.mean():.2f} best={be.min()}")
     best_energy = np.asarray(carry.best_energy).reshape(-1)
     wall = time.time() - t0

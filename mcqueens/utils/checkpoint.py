@@ -32,6 +32,14 @@ def spec_fingerprint(spec, seeds) -> str:
     return h.hexdigest()[:32]
 
 
+def extend_fingerprint(fp: str, *arrays) -> str:
+    """Fold extra run-defining arrays (ladder, swap seed, ...) into a digest."""
+    h = hashlib.sha256(fp.encode())
+    for a in arrays:
+        h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+    return h.hexdigest()[:32]
+
+
 def _is_key(x) -> bool:
     return hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
 
@@ -62,7 +70,8 @@ class Checkpointer:
         return os.path.join(self.directory, f"{self.tag}.npz")
 
     def save(self, carry, segments_done: int, history_chunks,
-             seg_outer: int = -1, fingerprint: str = "") -> None:
+             seg_outer: int = -1, fingerprint: str = "",
+             extras=()) -> None:
         if segments_done % self.every != 0:
             return
         payload = {f"carry_{name}": _to_numpy(val)
@@ -74,6 +83,9 @@ class Checkpointer:
         payload["n_history_chunks"] = np.asarray(len(history_chunks))
         for idx, chunk in enumerate(history_chunks):
             payload[f"hist_{idx}"] = np.asarray(chunk)
+        for idx, extra in enumerate(extras):
+            # Caller-defined side state (e.g. tempering's betas + swap key).
+            payload[f"extra_{idx}"] = np.asarray(extra)
         fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
         try:
             with os.fdopen(fd, "wb") as f:
@@ -84,8 +96,12 @@ class Checkpointer:
                 os.unlink(tmp)
 
     def restore(self, template_carry, seg_outer: int = -1,
-                fingerprint: str = ""):
-        """Return (carry, segments_done, history_chunks) or None if absent.
+                fingerprint: str = "", n_extras: int = 0):
+        """Return (carry, segments_done, history_chunks[, extras]) or None.
+
+        With ``n_extras > 0`` the return gains a fourth element: the tuple of
+        extra arrays stored by :meth:`save` (a checkpoint missing them is
+        treated as stale).
 
         ``template_carry`` supplies the NamedTuple type and None-leaves.  A
         checkpoint whose spec fingerprint doesn't match (tag reuse across a
@@ -119,6 +135,12 @@ class Checkpointer:
             carry = type(template_carry)(**fields)
             segments_done = int(data["segments_done"])
             chunks = [data[f"hist_{i}"] for i in range(int(data["n_history_chunks"]))]
+            if n_extras:
+                if any(f"extra_{i}" not in data for i in range(n_extras)):
+                    return None  # stale checkpoint without the side state
+                extras = tuple(data[f"extra_{i}"] for i in range(n_extras))
+        if n_extras:
+            return carry, segments_done, chunks, extras
         return carry, segments_done, chunks
 
     def clear(self) -> None:

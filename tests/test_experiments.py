@@ -274,3 +274,49 @@ def test_competition_resume_from_exported_board(tmp_path):
     assert rc == 0
     files = list((tmp_path / "round2" / "competition_results").glob("*.txt"))
     assert len(files) == 1
+
+
+def test_config_pallas_shared_requires_correlation_optin():
+    """The shared-site kernel breaks run independence; configs must opt in."""
+    raw = _base_config("single_N")
+    raw["tpu"] = {"kernel": "pallas_shared"}
+    with pytest.raises(ValueError, match="allow_correlated_runs"):
+        parse_config(raw)
+    raw["tpu"]["allow_correlated_runs"] = True
+    cfg = parse_config(raw)
+    assert cfg.tpu.kernel == "pallas_shared"
+    # The independent-site kernels need no opt-in.
+    for kernel in ("tables", "naive", "pallas"):
+        raw2 = _base_config("single_N")
+        raw2["tpu"] = {"kernel": kernel}
+        parse_config(raw2)
+
+
+def test_competition_checkpoint_resume(tmp_path):
+    """--checkpoint-dir: a rerun resumes and reproduces the export."""
+    from mcqueens.cli import competition
+
+    common = [
+        "--n", "5", "--n-runs", "2", "--n-steps", "300",
+        "--history-stride", "50",
+    ]
+    rc = competition.main(
+        common + ["--outdir", str(tmp_path / "plain")])
+    assert rc == 0
+    rc = competition.main(
+        common + ["--outdir", str(tmp_path / "ck"),
+                  "--checkpoint-dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    # The checkpoint exists and a rerun (full resume) matches the plain run.
+    assert list((tmp_path / "ckpt").glob("*.npz"))
+    rc = competition.main(
+        common + ["--outdir", str(tmp_path / "ck2"),
+                  "--checkpoint-dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+
+    def read(d):
+        path = sorted((d / "competition_results").glob("*.txt"))[-1]
+        return path.read_text()
+
+    assert read(tmp_path / "plain") == read(tmp_path / "ck")
+    assert read(tmp_path / "plain") == read(tmp_path / "ck2")

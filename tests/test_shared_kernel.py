@@ -231,3 +231,51 @@ def test_shared_kernel_wide_unroll_invariants():
         assert res.final_energy[r] == _oracle.board_energy(res.final_state[r])
         assert res.best_energy[r] == _oracle.board_energy(res.best_state[r])
     assert (res.total_bins.sum(axis=1) == spec.n_steps).all()
+
+
+def test_recover_best_heights_matches_tracked():
+    """track_best=False + deterministic replay == track_best=True, bitwise."""
+    from mcqueens.kernels import board_shared
+
+    N = 5
+    spec = _spec(N=N, n_steps=400, history_stride=50)
+    seeds = 3 + np.arange(6, dtype=np.uint32)
+    with pltpu.force_tpu_interpret_mode():
+        tracked, _ = board_shared.run_segment(
+            board_shared.init_carry_batch(seeds, spec), np.int32(0), spec,
+            spec.n_outer)
+        untracked, _ = board_shared.run_segment(
+            board_shared.init_carry_batch(seeds, spec), np.int32(0), spec,
+            spec.n_outer, track_best=False)
+        np.testing.assert_array_equal(np.asarray(untracked.best_energy),
+                                      np.asarray(tracked.best_energy))
+        np.testing.assert_array_equal(np.asarray(untracked.best_step),
+                                      np.asarray(tracked.best_step))
+        rec = board_shared.recover_best_heights(untracked, spec)
+    want = np.asarray(tracked.best_heights).reshape(-1, N, N)
+    np.testing.assert_array_equal(rec, want)
+    be = np.asarray(tracked.best_energy).reshape(-1)
+    for c in range(rec.shape[0]):
+        assert _oracle.board_energy(rec[c]) == be[c]
+
+
+def test_recover_best_heights_warm_start_and_verify():
+    """Replay needs the same warm starts; omitting them is caught, not wrong."""
+    from mcqueens.kernels import board_shared
+
+    N = 5
+    rng = np.random.default_rng(11)
+    starts = rng.integers(0, N, size=(4, N, N)).astype(np.int32)
+    spec = _spec(N=N, n_steps=200, history_stride=50)
+    seeds = np.arange(4, dtype=np.uint32)
+    with pltpu.force_tpu_interpret_mode():
+        tracked, _ = board_shared.run_segment(
+            board_shared.init_carry_batch(seeds, spec,
+                                          initial_states=starts),
+            np.int32(0), spec, spec.n_outer)
+        rec = board_shared.recover_best_heights(tracked, spec,
+                                                initial_states=starts)
+        np.testing.assert_array_equal(
+            rec, np.asarray(tracked.best_heights).reshape(-1, N, N))
+        with pytest.raises(AssertionError, match="replay mismatch"):
+            board_shared.recover_best_heights(tracked, spec)

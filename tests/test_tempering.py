@@ -55,14 +55,14 @@ def test_exchange_certain_and_impossible_swaps():
     impossible (log A = -990 < log u for any float u > 0).
     """
     betas = jnp.asarray([0.1, 10.0, 0.1, 10.0], jnp.float32)
-    key = jax.random.PRNGKey(0)
+    rkey = tempering.round_key(0, 0)
     # (beta0 - beta1)(E0 - E1) = (-9.9)(-100) >> 0 -> certain swap
     e_swap = jnp.asarray([0.0, 100.0, 0.0, 100.0], jnp.float32)
-    out = tempering.exchange(betas, e_swap, key, 2, 0)
+    out = tempering.exchange(betas, e_swap, rkey, 2, 0)
     np.testing.assert_allclose(np.asarray(out), [10.0, 0.1, 10.0, 0.1])
     # (beta0 - beta1)(E0 - E1) = (-9.9)(100) = -990 -> never swaps
     e_stay = jnp.asarray([100.0, 0.0, 100.0, 0.0], jnp.float32)
-    out = tempering.exchange(betas, e_stay, key, 2, 0)
+    out = tempering.exchange(betas, e_stay, rkey, 2, 0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(betas))
 
 
@@ -70,12 +70,12 @@ def test_exchange_phase_pairs_and_tail():
     """Phase 1 pairs levels (1,2); level 0 and tail chains never move."""
     betas = jnp.asarray([1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 7.0], jnp.float32)
     e = jnp.asarray([0.0, 100.0, 0.0, 0.0, 100.0, 0.0, 5.0], jnp.float32)
-    key = jax.random.PRNGKey(1)
-    out = np.asarray(tempering.exchange(betas, e, key, 3, 1))
+    rkey = tempering.round_key(1, 0)
+    out = np.asarray(tempering.exchange(betas, e, rkey, 3, 1))
     # (b1-b2)(E1-E2) = (-1)(100) = -100 -> no swap
     np.testing.assert_allclose(out, np.asarray(betas))
     e = jnp.asarray([0.0, 0.0, 100.0, 0.0, 0.0, 100.0, 5.0], jnp.float32)
-    out = np.asarray(tempering.exchange(betas, e, key, 3, 1))
+    out = np.asarray(tempering.exchange(betas, e, rkey, 3, 1))
     # (b1-b2)(E1-E2) = (-1)(-100) -> certain swap of levels 1 and 2
     np.testing.assert_allclose(out, [1.0, 3.0, 2.0, 1.0, 3.0, 2.0, 7.0])
 
@@ -85,11 +85,10 @@ def test_exchange_preserves_group_multisets():
     n_levels, groups = 5, 7
     ladder = tempering.geometric_ladder(0.2, 5.0, n_levels)
     betas = jnp.asarray(np.tile(ladder, groups))
-    key = jax.random.PRNGKey(9)
     for r in range(20):
         e = jnp.asarray(rng.integers(0, 60, betas.shape[0]), jnp.float32)
-        key, sub = jax.random.split(key)
-        betas = tempering.exchange(betas, e, sub, n_levels, r % 2)
+        betas = tempering.exchange(betas, e, tempering.round_key(9, r),
+                                   n_levels, r % 2)
     b = np.asarray(betas).reshape(groups, n_levels)
     for g in range(groups):
         np.testing.assert_allclose(np.sort(b[g]), np.sort(ladder))
@@ -193,3 +192,104 @@ def test_tempered_marginals_are_boltzmann_per_level():
     # And swaps must actually happen (a dead exchange would also pass the
     # marginal check): some chain must change level at least once.
     assert (bhist[:, burn:] != bhist[:, burn:burn + 1]).any()
+
+
+def test_exchange_interval_decouples_swaps_from_history():
+    """Swaps can be sparser than history points; history cadence unchanged."""
+    seeds = np.arange(8, dtype=np.uint32)
+    spec = _spec(n_steps=400, history_stride=50)  # n_outer = 8
+    ladder = tempering.geometric_ladder(0.3, 3.0, 4)
+    with pltpu.force_tpu_interpret_mode():
+        out1 = tempering.run_tempered(seeds, spec, ladder, swap_seed=7,
+                                      record_betas=True)
+        out4 = tempering.run_tempered(seeds, spec, ladder, swap_seed=7,
+                                      record_betas=True, exchange_interval=4)
+    # One history point per stride chunk either way.
+    assert out1["energy_history"].shape == (8, spec.n_outer + 1)
+    assert out4["energy_history"].shape == (8, spec.n_outer + 1)
+    # interval=4 -> 2 rounds -> 2 beta assignments (one swap between them).
+    assert out1["betas_history"].shape[0] == spec.n_outer
+    assert out4["betas_history"].shape[0] == 2
+    for out in (out1, out4):
+        b = out["betas"].reshape(2, 4)
+        for g in range(2):
+            np.testing.assert_allclose(np.sort(b[g]), np.sort(ladder))
+        for r in range(8):
+            assert out["final_energy"][r] == _oracle.board_energy(
+                out["final_state"][r])
+
+
+def test_tempered_sharded_matches_unsharded():
+    """The pod path: segments under shard_map, shard-local ladder groups.
+
+    Counter-based chain/site/swap streams make the result a pure function
+    of the seeds, so the 8-device run must reproduce the single-device run
+    bitwise on the real chains (the sharded run pads to whole blocks per
+    device; group g's swap draws are keyed by g, not by the chain count).
+    """
+    from mcqueens.dist import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh()
+    seeds = np.arange(8, dtype=np.uint32)
+    spec = _spec(n_steps=200, history_stride=50)
+    ladder = tempering.geometric_ladder(0.5, 3.0, 4)
+    with pltpu.force_tpu_interpret_mode():
+        a = tempering.run_tempered(seeds, spec, ladder, swap_seed=3)
+        b = tempering.run_tempered(seeds, spec, ladder, swap_seed=3,
+                                   mesh=mesh)
+    np.testing.assert_array_equal(a["energy_history"], b["energy_history"])
+    np.testing.assert_array_equal(a["best_energy"], b["best_energy"])
+    np.testing.assert_array_equal(a["best_state"], b["best_state"])
+    np.testing.assert_array_equal(a["betas"], b["betas"])
+    np.testing.assert_array_equal(a["final_state"], b["final_state"])
+
+
+def test_tempered_checkpoint_resume_bitwise(tmp_path, monkeypatch):
+    """A killed tempering search resumes bit-identically.
+
+    Crash simulation: the segment call raises after 2 rounds; the rerun
+    restores the round-2 checkpoint (carry + betas; the swap stream needs no
+    saved RNG state — it is a pure function of (swap_seed, round)).
+    """
+    from mcqueens.kernels import board_shared
+    from mcqueens.utils.checkpoint import Checkpointer
+
+    seeds = np.arange(8, dtype=np.uint32)
+    spec = _spec(n_steps=400, history_stride=50)
+    ladder = tempering.geometric_ladder(0.3, 3.0, 4)
+
+    with pltpu.force_tpu_interpret_mode():
+        want = tempering.run_tempered(seeds, spec, ladder, swap_seed=7)
+
+        ckpt = Checkpointer(str(tmp_path), tag="pt")
+        real = board_shared.run_segment_tempered
+        calls = {"n": 0}
+
+        def dying(*args, **kw):
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated preemption")
+            calls["n"] += 1
+            return real(*args, **kw)
+
+        monkeypatch.setattr(board_shared, "run_segment_tempered", dying)
+        with pytest.raises(RuntimeError, match="preemption"):
+            tempering.run_tempered(seeds, spec, ladder, swap_seed=7,
+                                   checkpointer=ckpt)
+        monkeypatch.setattr(board_shared, "run_segment_tempered", real)
+        got = tempering.run_tempered(seeds, spec, ladder, swap_seed=7,
+                                     checkpointer=ckpt)
+    np.testing.assert_array_equal(want["energy_history"],
+                                  got["energy_history"])
+    np.testing.assert_array_equal(want["best_energy"], got["best_energy"])
+    np.testing.assert_array_equal(want["best_state"], got["best_state"])
+    np.testing.assert_array_equal(want["betas"], got["betas"])
+    np.testing.assert_array_equal(want["final_state"], got["final_state"])
+
+    # A fingerprint mismatch (different ladder) must NOT resume.
+    other = tempering.geometric_ladder(0.2, 4.0, 4)
+    with pltpu.force_tpu_interpret_mode():
+        fresh = tempering.run_tempered(seeds, spec, other, swap_seed=7,
+                                       checkpointer=ckpt)
+        plain = tempering.run_tempered(seeds, spec, other, swap_seed=7)
+    np.testing.assert_array_equal(fresh["energy_history"],
+                                  plain["energy_history"])

@@ -231,6 +231,11 @@ def main(argv=None) -> int:
          16384 // scale, 8192 // scale),
         ("Pallas shared-site sliced (board)", "pallas_shared", "board",
          32768 // scale, 32768 // scale),
+        # The BASELINE.json-letter configuration (4096 chains): the stated
+        # headline must be checkable at the stated config, not only at the
+        # throughput-optimal chain count (VERDICT r2 weak #2).
+        ("Pallas shared-site sliced (board, BASELINE config)",
+         "pallas_shared", "board", 4096 // scale, 32768 // scale),
     ]
     out["kernels"] = {}
     print("\n| path | moves/s/chip (N=16) |\n|---|---|", flush=True)
