@@ -50,12 +50,16 @@ class ChainSpec:
             :mod:`mcqueens.kernels.metropolis_pallas` /
             :mod:`mcqueens.kernels.full3d_pallas`; per-chain proposal sites,
             uses the on-chip PRNG so its streams differ from the threefry
-            kernels), or "pallas_shared" (board only,
-            :mod:`mcqueens.kernels.board_shared`: O(N)-work sliced delta-E
-            with the proposal *site* shared per step across each VMEM block
-            of chains — each chain is still an exact Metropolis chain, but
-            chains within a block are not mutually independent; the
-            throughput kernel for benchmarks/competition/pod-scale runs).
+            kernels), or "pallas_shared" (the throughput tier for both
+            variants: :mod:`mcqueens.kernels.board_shared` for boards —
+            O(N)-work sliced delta-E with the proposal *site* shared per
+            step across each VMEM block — and
+            :mod:`mcqueens.kernels.full3d_shared` for full_3d — shared lazy
+            candidate cell + chunk-held shared mover, one one-vs-all pass
+            per step.  Each chain is still an exact Metropolis chain, but
+            chains within a block are not mutually independent; use for
+            benchmarks/competition/pod-scale runs, not independence-
+            contract sweeps).
     """
 
     N: int
@@ -74,10 +78,6 @@ class ChainSpec:
             raise ValueError(f"Unknown kernel: {self.kernel}")
         if self.mcmc_type not in MCMC_TYPES:
             raise ValueError(f"Unknown mcmc_type: {self.mcmc_type}")
-        if self.kernel == "pallas_shared" and self.mcmc_type != "board":
-            raise ValueError(
-                "kernel='pallas_shared' supports mcmc_type='board' only"
-            )
         if (self.mcmc_type == "full_3d"
                 and self.Q is not None and self.Q >= self.N ** 3):
             # Rejection sampling of an unoccupied cell requires a free cell;

@@ -76,9 +76,13 @@ class ChainResult:
 
 def _modules(spec: ChainSpec):
     if spec.kernel == "pallas_shared":
-        from mcqueens.kernels import board_shared
+        if spec.mcmc_type == "board":
+            from mcqueens.kernels import board_shared
 
-        return board_shared
+            return board_shared
+        from mcqueens.kernels import full3d_shared
+
+        return full3d_shared
     if spec.kernel == "pallas":
         if spec.mcmc_type == "board":
             from mcqueens.kernels import metropolis_pallas

@@ -32,8 +32,12 @@ def _exact_p1(beta: float):
     return w1 / (w0 + w1), n_att / tot
 
 
-@pytest.mark.parametrize("kernel", ["tables", "naive", "pallas"])
+@pytest.mark.parametrize("kernel",
+                         ["tables", "naive", "pallas", "pallas_shared"])
 def test_full3d_samples_boltzmann_distribution(kernel):
+    # pallas_shared: the lazy shared-candidate + held-mover chain has the
+    # same stationary law (every substep is reversible w.r.t. it); chains
+    # within the block are correlated, which only raises estimator variance.
     N, Q, beta, n_steps, stride = 3, 2, 1.0, 12000, 50
     spec = ChainSpec(
         N=N,
