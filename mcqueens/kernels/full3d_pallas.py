@@ -23,11 +23,16 @@ Round-2 redesign (shared with :mod:`mcqueens.kernels.board_shared`):
     ``lax.while_loop`` that drains straggler lanes — same deterministic
     candidate word sequence either way, any occupancy < 1 supported.
 
-Unlike the board, the full-3D delta-E has no sliceable locality here: a
-conflict test needs each queen's three coordinates (the 13 line families
-through a cell would need ~16 MB/chain-block of line-major layouts), so the
-one-vs-all O(Q) pass stays — transposing and the PRNG change are where the
-round-2 speedup comes from (measured: see docs/DESIGN.md).
+Unlike the board, the full-3D delta-E has no sliceable locality for
+PER-CHAIN proposal sites: a conflict test needs each queen's three
+coordinates, and a per-chain line-count table cannot be maintained because
+the mover's old-cell decrement is a per-lane scatter (unsupported on this
+Mosaic target, ``tools/probe_gather.py``) — so the one-vs-all O(Q) pass
+stays here.  Round 3 added the throughput tier on top of this kernel:
+:mod:`mcqueens.kernels.full3d_shared` shares the (candidate, mover) per
+block, which collapses the occupancy machinery and halves the pass count
+(see its header and ``tools/probe_full3d_cap.py`` for the measured O(Q)
+ceiling).  This per-chain kernel remains the independent-chains path.
 """
 
 from __future__ import annotations

@@ -10,7 +10,7 @@ each step's proposal, so everything the proposal touches becomes scalar.
 Reference chain being accelerated: ``/root/reference/experiments.py:199-279``
 (sampler), ``/root/reference/mcmc.py:171-226`` (state/conflicts).
 
-Three design moves, in decreasing order of payoff:
+Four design moves, in decreasing order of payoff:
 
 1. **Shared lazy proposal.**  Each step draws ONE candidate cell per block,
    uniform over all N^3 cells (block-keyed counter stream).  A chain whose
@@ -18,31 +18,38 @@ Three design moves, in decreasing order of payoff:
    acceptance 0 — the chain is "lazy" for that step, which preserves its
    Boltzmann law; conditioned on the candidate being free the proposal law
    is exactly the reference's uniform-over-unoccupied).  This deletes the
-   rejection while_loop AND the occupancy bitfield: occupancy of the scalar
-   candidate is read off the packed-cell plane inside the same one-vs-all
-   pass (a queen sitting on the candidate shows up as ``qc == cand``).
+   rejection while_loop AND the occupancy bitfield: a queen sitting on the
+   candidate shows up in the same pass as an all-zero coordinate delta.
    Waste: Q/N^3 (= 1/N at Q = N^2) of steps are lazy.
 2. **Mover held per 8-step chunk.**  The mover queen index is shared too,
    and redrawn only every ``_HOLD`` = 8 steps (a deterministic-scan
    Metropolis variant: each substep is still reversible w.r.t. the Boltzmann
    law, so the composition preserves it).  While the mover is fixed, its
-   conflicts-at-current-cell propagate as a (1, C) row — accepted move means
-   ``old_conf <- new_conf`` — so the per-step work drops to ONE one-vs-all
-   pass (the candidate side); the old-side pass runs once per chunk.
-3. **Stale-plane algebra.**  Within a chunk the mover's row in the
-   coordinate planes is left at its chunk-start value (planes are only
-   rewritten at chunk end); the pass result is corrected with cheap (1, C)
-   terms: subtract the stale mover's contribution ``ind(o0, cand)``, and fix
-   the occupancy count with ``-(o0c == cand) + (oc == cand)``.  All other
-   queens are immobile within the chunk, so their plane rows are exact.
+   conflicts-at-current-cell propagate as a (1, C) row — an accepted move
+   means ``old_conf <- new_conf`` — so the old-side one-vs-all pass runs
+   once per chunk instead of every step.
+3. **One batched sweep per chunk.**  All positions except the mover's are
+   frozen within a chunk, so the chunk's 8 candidate-side passes AND the
+   old-side pass evaluate against the same planes and fuse into a single
+   blocked sweep: each (8, C) row block of (qi, qj, qk) is loaded once and
+   scored against all 9 targets (3 loads amortized 9 ways; the 9
+   independent accumulator chains also hide the reduce-tree latency that a
+   per-step pass serializes on).  The attack indicator uses the 2-test
+   form ``t_a = a2*(a2-m)`` per axis — ``t_a == 0`` iff ``a2`` is 0 or the
+   maximum — giving attack = ``(t_p|t_q|t_r) == 0`` and occupancy =
+   ``(p2|q2|r2) == 0`` from the same subexpressions.
+4. **Stale-plane algebra.**  The mover's plane row keeps its chunk-start
+   value until the chunk-end write-back; (1, C) correction terms (stale
+   contribution ``ind(o0, cand)``, stale/live occupancy swap) keep every
+   per-step quantity exact.
 
-Chains ride the lane axis as in the other round-2+ kernels; per-chain state
-is (QS, C) coordinate planes (qi, qj, qk, packed cell qc, packed best bqc)
-plus (1, C) bookkeeping rows.  Per-chain accept draws key on each chain's
-own seed (:func:`mcqueens.kernels.prng.chain_streams` — layout-free);
+Chains ride the lane axis; per-chain state is (QS, C) coordinate planes
+(qi, qj, qk and the best-board planes bqi, bqj, bqk) plus (1, C)
+bookkeeping rows.  Per-chain accept draws key on each chain's own seed
+(:func:`mcqueens.kernels.prng.chain_streams` — layout-free); the
 candidate/mover streams are block-keyed by design.  Best boards are exact
-and group-amortized exactly as in ``board_shared``: one full-plane snapshot
-per unroll group plus a newest-first revert of the logged moves.
+and group-amortized exactly as in ``board_shared``: one plane snapshot per
+unroll group plus a newest-first revert of the logged moves.
 
 Statistical contract — same genus as ``kernel='pallas_shared'`` for boards:
 every chain is an exact Metropolis chain for its own Boltzmann law
@@ -53,8 +60,7 @@ Acceptance-bin denominators count every active step (occupied-candidate
 proposals are rejections of the lazy chain), so measured acceptance rates
 sit ~Q/N^3 below the reference's conditional-on-valid rates.
 
-Measured on this host: see ``tools/roofline.py`` / ``docs/DESIGN.md`` §4
-(target: close the 20x full_3d gap to >= 4e8 moves/s/chip).
+Measured on this host: see ``tools/roofline.py`` / ``docs/DESIGN.md`` §4.
 """
 
 from __future__ import annotations
@@ -69,14 +75,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mcqueens.chain.spec import ChainSpec
-from mcqueens.core import tables as tables_mod
 from mcqueens.kernels import prng
-from mcqueens.kernels.full3d_pallas import (
-    PallasFull3DCarry,
-    _attack_ind,
-    _qs,
-    _reduce_rows,
-)
+from mcqueens.kernels.full3d_pallas import PallasFull3DCarry, _qs
 
 DEFAULT_BLOCK = 2048
 _LANE = 128
@@ -87,11 +87,21 @@ _HOLD = 8  # steps the shared mover is held; a divisor of both unroll sizes,
 
 _CAND_SALT = np.int32(-1640531527)   # 0x9E3779B9: candidate-cell stream
 _MOVER_SALT = np.int32(0x3C6EF372)   # mover-index stream
-_OCC_BIT = 1 << 16  # occupancy rides the high bits of the fused pass
+_OCC_BIT = 1 << 16  # occupancy rides the high bits of the fused sweep
 
-# Pad-row sentinels: distinct magnitudes so no pad row can satisfy the
-# attack relation against any real cell (same scheme as full3d_pallas).
-_PAD_I, _PAD_J, _PAD_K = 1 << 10, 3 << 10, 7 << 10
+def _pads(N: int):
+    """Pad-row sentinel coordinates (N + 8, 2N + 16, 3N + 24).
+
+    Two constraints (unlike full3d_pallas's large power-of-two sentinels):
+    every pad delta magnitude against a real coordinate is nonzero AND the
+    three magnitude ranges are pairwise disjoint (|di| <= N+8 < N+17 <=
+    |dj| <= 2N+16 < 2N+25 <= |dk|), so no pad row can pass the attack test
+    *in exact arithmetic*; and all squares stay small enough (<= (3N+24)^2,
+    14400 at N=32) that the kernel's a2*(a2-m) products are exact in int32.
+    Power-of-two sentinels would wrap those products mod 2^32 and can alias
+    to zero (2-adic valuation >= 32), forging an attack.
+    """
+    return N + 8, 2 * N + 16, 3 * N + 24
 
 
 def block_size(n_chains: int) -> int:
@@ -106,9 +116,9 @@ def padded_chains(n_chains: int) -> int:
 
 
 def _kernel(step0_ref, seed_ref, cs_in,
-            qi_in, qj_in, qk_in, qc_in, bqc_in,
+            qi_in, qj_in, qk_in, bqi_in, bqj_in, bqk_in,
             e_in, be_in, bs_in, ni_in, st_in, ab_in, tb_in,
-            qi_o, qj_o, qk_o, qc_o, bqc_o,
+            qi_o, qj_o, qk_o, bqi_o, bqj_o, bqk_o,
             e_o, be_o, bs_o, ni_o, st_o, ab_o, tb_o,
             *, spec: ChainSpec, n_inner: int):
     N = spec.N
@@ -127,8 +137,9 @@ def _kernel(step0_ref, seed_ref, cs_in,
     qi_o[:] = qi_in[:]
     qj_o[:] = qj_in[:]
     qk_o[:] = qk_in[:]
-    qc_o[:] = qc_in[:]
-    bqc_o[:] = bqc_in[:]
+    bqi_o[:] = bqi_in[:]
+    bqj_o[:] = bqj_in[:]
+    bqk_o[:] = bqk_in[:]
 
     iota8 = lax.broadcasted_iota(jnp.int32, (8, c_blk), 0)
     bin_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
@@ -147,10 +158,54 @@ def _kernel(step0_ref, seed_ref, cs_in,
 
     def write_row(plane, q8, qsub, value):
         blk = plane[pl.ds(q8, 8), :]
-        plane[pl.ds(q8, 8), :] = jnp.where(iota8[0:8] == qsub, value, blk)
+        plane[pl.ds(q8, 8), :] = jnp.where(iota8 == qsub, value, blk)
 
     def bin_of(gstep):
         return jnp.minimum(gstep * nb // spec.n_steps, nb - 1)
+
+    def scores(di, dj, dk):
+        """Fused attack+occupancy score of one row block vs one target.
+
+        attack (0/1, low bits) iff every |delta| is 0 or the common max —
+        per axis ``a2*(a2-m) == 0`` since ``a2 <= m`` — plus _OCC_BIT iff
+        all deltas are 0 (a queen on the target cell; its low contribution
+        is then 1, removed by the caller's stale/occ corrections or unused
+        on lazy steps).
+        """
+        p2 = di * di
+        q2 = dj * dj
+        r2 = dk * dk
+        m = jnp.maximum(p2, jnp.maximum(q2, r2))
+        t = (p2 * (p2 - m)) | (q2 * (q2 - m)) | (r2 * (r2 - m))
+        z = p2 | q2 | r2
+        return jnp.where(t == 0, 1, 0) + jnp.where(
+            z == 0, jnp.int32(_OCC_BIT), 0)
+
+    def chunk_sweep(cands, o0x, o0y, o0z):
+        """ONE blocked pass scoring every row against the chunk's targets.
+
+        Returns ([(1, C) score per candidate], (1, C) old-side score).
+        Scores carry attackers in the low bits, occupancy in the high bits.
+        """
+        K = len(cands)
+        accs = [None] * (K + 1)
+        for base in range(0, QS, 8):
+            bi = qi_o[base:base + 8, :]
+            bj = qj_o[base:base + 8, :]
+            bk = qk_o[base:base + 8, :]
+            parts = [scores(bi - cx, bj - cy, bk - cz)
+                     for (_, cx, cy, cz) in cands]
+            parts.append(scores(bi - o0x, bj - o0y, bk - o0z))
+            for idx in range(K + 1):
+                accs[idx] = parts[idx] if accs[idx] is None else (
+                    accs[idx] + parts[idx])
+
+        def tree(a):
+            a = a[0:4, :] + a[4:8, :]
+            a = a[0:2, :] + a[2:4, :]
+            return a[0:1, :] + a[1:2, :]
+
+        return [tree(a) for a in accs[:K]], tree(accs[K])
 
     def run_chunk(g0, length, carry, bins_cb):
         """``length`` substeps with one shared mover; returns the move log.
@@ -167,45 +222,37 @@ def _kernel(step0_ref, seed_ref, cs_in,
         o0x = read_row(qi_o, q8, qsub)
         o0y = read_row(qj_o, q8, qsub)
         o0z = read_row(qk_o, q8, qsub)
-        o0c = read_row(qc_o, q8, qsub)
-        ox, oy, oz, oc = o0x, o0y, o0z, o0c
-        # Fresh old-side conflicts: one one-vs-all pass per chunk.  The
-        # mover's own plane row contributes the degenerate self value 8.
-        att0 = _attack_ind(qi_o[:] - o0x, qj_o[:] - o0y, qk_o[:] - o0z)
-        old_conf = _reduce_rows(att0, QS) - jnp.int32(8)
+        ox, oy, oz = o0x, o0y, o0z
+
+        cands = []
+        for k in range(length):
+            cand = cand_of(g0 + k)
+            cx = cand // jnp.int32(N * N)
+            cy = (cand // jnp.int32(N)) % jnp.int32(N)
+            cz = cand % jnp.int32(N)
+            cands.append((cand, cx, cy, cz))
+        cand_scores, old_score = chunk_sweep(cands, o0x, o0y, o0z)
+        # The mover's own plane row scores 1 + _OCC_BIT against o0.
+        old_conf = (old_score & jnp.int32(0xFFFF)) - jnp.int32(1)
+        # Stale corrections, one per candidate: the chunk-start mover's
+        # attack/occupancy contribution to each candidate's score.
+        stale = [scores(o0x - cx, o0y - cy, o0z - cz)
+                 for (_, cx, cy, cz) in cands]
 
         move_log = []
         for k in range(length):
             gstep = g0 + k
-            cand = cand_of(gstep)
-            cx = cand // jnp.int32(N * N)
-            cy = (cand // jnp.int32(N)) % jnp.int32(N)
-            cz = cand % jnp.int32(N)
+            cand, cx, cy, cz = cands[k]
             _, w1 = prng.step_words(g, gstep)
             u = prng.uniform01(w1)
 
-            # Fused candidate-side pass: attackers of the candidate cell in
-            # the low bits, occupancy count in the high bits (a queen ON the
-            # candidate contributes ind = 8 low + _OCC_BIT high; distinct
-            # cells contribute 0/1 low).
-            qi, qj, qk, qc = qi_o[:], qj_o[:], qk_o[:], qc_o[:]
-            fused = _attack_ind(qi - cx, qj - cy, qk - cz) + (
-                (qc == cand).astype(jnp.int32) * jnp.int32(_OCC_BIT)
-            )
-            total = _reduce_rows(fused, QS)
-            occ = total >> 16
-            low = total & jnp.int32(0xFFFF)
-            # Stale-plane corrections, all (1, C): remove the stale mover
-            # row's contribution (it is the live mover's when no move was
-            # accepted yet, and a ghost otherwise), and swap the stale
-            # occupancy for the live mover's.  When the corrected occupancy
-            # is nonzero the step is lazy and new_conf goes unused, so the
-            # on-candidate queen's degenerate low contribution (8) is
-            # harmless.
-            stale_ind = _attack_ind(o0x - cx, o0y - cy, o0z - cz)
-            occ = (occ - (o0c == cand).astype(jnp.int32)
-                   + (oc == cand).astype(jnp.int32))
-            new_conf = low - stale_ind
+            total = cand_scores[k] - stale[k]
+            live_on = jnp.logical_and(
+                jnp.logical_and(ox == cx, oy == cy), oz == cz)
+            occ = (total >> 16) + live_on.astype(jnp.int32)
+            new_conf = (total & jnp.int32(0xFFFF)) + live_on.astype(jnp.int32)
+            # (live_on also adds 1 to new_conf's low bits — irrelevant: the
+            # step is lazy whenever the live mover sits on the candidate.)
             d_e = new_conf - old_conf
 
             gstep_f = (jnp.full((1, 1), 0, jnp.float32)
@@ -218,11 +265,10 @@ def _kernel(step0_ref, seed_ref, cs_in,
             free = occ == 0
             upd = jnp.logical_and(jnp.logical_and(accept, active), free)
 
-            move_log.append((q8, qsub, oc, upd))
+            move_log.append((q8, qsub, ox, oy, oz, upd))
             ox = jnp.where(upd, cx, ox)
             oy = jnp.where(upd, cy, oy)
             oz = jnp.where(upd, cz, oz)
-            oc = jnp.where(upd, cand, oc)
             old_conf = jnp.where(upd, new_conf, old_conf)
 
             e = e + jnp.where(upd, d_e, 0)
@@ -242,32 +288,41 @@ def _kernel(step0_ref, seed_ref, cs_in,
         write_row(qi_o, q8, qsub, ox)
         write_row(qj_o, q8, qsub, oy)
         write_row(qk_o, q8, qsub, oz)
-        write_row(qc_o, q8, qsub, oc)
         return (e, be, bs, ni, st), move_log
 
     def flush_best(g0, chunk_logs, bs):
         """Group-amortized exact best tracking (board_shared scheme).
 
-        Snapshot improved chains' packed boards, then undo the logged moves
-        made after each chain's best step, newest first.  Moves within a
-        chunk all target that chunk's mover row, so each chunk folds to one
-        (1, C) value and one masked row write; chunks are processed newest
-        first so repeated mover indices across chunks stay correct.
+        Snapshot improved chains' coordinate planes, then undo the logged
+        moves made after each chain's best step, newest first.  Moves within
+        a chunk all target that chunk's mover row, so each chunk folds to
+        three (1, C) values and one masked row write; chunks are processed
+        newest first so repeated mover indices across chunks stay correct.
         """
         g_imp = bs > g0
-        bqc_o[:] = jnp.where(g_imp, qc_o[:], bqc_o[:])
+        bqi_o[:] = jnp.where(g_imp, qi_o[:], bqi_o[:])
+        bqj_o[:] = jnp.where(g_imp, qj_o[:], bqj_o[:])
+        bqk_o[:] = jnp.where(g_imp, qk_o[:], bqk_o[:])
         for (chunk_g0, log) in reversed(chunk_logs):
             q8, qsub = log[0][0], log[0][1]
-            row = read_row(bqc_o, q8, qsub)
+            rx = read_row(bqi_o, q8, qsub)
+            ry = read_row(bqj_o, q8, qsub)
+            rz = read_row(bqk_o, q8, qsub)
             for k in reversed(range(len(log))):
-                _, _, oc_before, upd = log[k]
+                _, _, px, py, pz, upd = log[k]
                 gstep = chunk_g0 + k
                 mask = jnp.logical_and(jnp.logical_and(g_imp, upd),
                                        bs <= gstep)
-                row = jnp.where(mask, oc_before, row)
-            blk = bqc_o[pl.ds(q8, 8), :]
-            bqc_o[pl.ds(q8, 8), :] = jnp.where(
-                jnp.logical_and(iota8[0:8] == qsub, g_imp), row, blk)
+                rx = jnp.where(mask, px, rx)
+                ry = jnp.where(mask, py, ry)
+                rz = jnp.where(mask, pz, rz)
+            rowmask = jnp.logical_and(iota8 == qsub, g_imp)
+            blk = bqi_o[pl.ds(q8, 8), :]
+            bqi_o[pl.ds(q8, 8), :] = jnp.where(rowmask, rx, blk)
+            blk = bqj_o[pl.ds(q8, 8), :]
+            bqj_o[pl.ds(q8, 8), :] = jnp.where(rowmask, ry, blk)
+            blk = bqk_o[pl.ds(q8, 8), :]
+            bqk_o[pl.ds(q8, 8), :] = jnp.where(rowmask, rz, blk)
 
     zrow = jnp.zeros((1, c_blk), jnp.int32)
     unroll = _UNROLL if n_inner >= 1024 else _UNROLL_SMALL
@@ -352,15 +407,16 @@ def _kernel(step0_ref, seed_ref, cs_in,
 
 
 def _internal_state(carry: PallasFull3DCarry, N: int):
-    """(C, X) carry -> (X, C) planes: qi, qj, qk, qc, bqc, rows, bins, cs.
+    """(C, X) carry -> (X, C) planes: qi, qj, qk, bqi, bqj, bqk, rows, bins.
 
     Unlike full3d_pallas there is no occupancy bitfield (occupancy is read
-    off the qc plane inside the fused pass) and the qc pad rows hold -1
-    (a value no candidate cell can take), not 0.
+    off the coordinate planes inside the fused sweep) and no packed-cell
+    plane; the best board is three coordinate planes matching the carry.
     """
     Q = carry.qi.shape[1]
     QS = _qs(Q)
     pad = QS - Q
+    pad_i, pad_j, pad_k = _pads(N)
 
     def plane(x, fill):
         t = x.T.astype(jnp.int32)
@@ -370,14 +426,11 @@ def _internal_state(carry: PallasFull3DCarry, N: int):
             )
         return t
 
-    def packed(xi, xj, xk):
-        return ((xi * N + xj) * N + xk).astype(jnp.int32)
-
     return (
-        plane(carry.qi, _PAD_I), plane(carry.qj, _PAD_J),
-        plane(carry.qk, _PAD_K),
-        plane(packed(carry.qi, carry.qj, carry.qk), -1),
-        plane(packed(carry.best_qi, carry.best_qj, carry.best_qk), -1),
+        plane(carry.qi, pad_i), plane(carry.qj, pad_j),
+        plane(carry.qk, pad_k),
+        plane(carry.best_qi, pad_i), plane(carry.best_qj, pad_j),
+        plane(carry.best_qk, pad_k),
         carry.energy.T, carry.best_energy.T, carry.best_step.T,
         carry.no_improve.T, carry.stop_step.T,
         carry.accept_bins.T, carry.total_bins.T,
@@ -386,13 +439,12 @@ def _internal_state(carry: PallasFull3DCarry, N: int):
 
 
 def _external_carry(block_seeds, occ, st, Q: int, N: int) -> PallasFull3DCarry:
-    qi, qj, qk, qc, bqc, e, be, bs, ni, stp, ab, tb, cs = st
-    b = bqc[:Q].T
+    qi, qj, qk, bqi, bqj, bqk, e, be, bs, ni, stp, ab, tb, cs = st
     return PallasFull3DCarry(
         block_seeds=block_seeds,
         chain_seeds=cs.T,
         qi=qi[:Q].T, qj=qj[:Q].T, qk=qk[:Q].T, occ=occ,
-        best_qi=b // (N * N), best_qj=(b // N) % N, best_qk=b % N,
+        best_qi=bqi[:Q].T, best_qj=bqj[:Q].T, best_qk=bqk[:Q].T,
         energy=e.T, best_energy=be.T, best_step=bs.T,
         no_improve=ni.T, stop_step=stp.T,
         accept_bins=ab.T, total_bins=tb.T,
@@ -410,8 +462,8 @@ def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
         return pl.BlockSpec((rows, c_blk), lambda b: (0, b),
                             memory_space=pltpu.VMEM)
 
-    state_specs = [cs(QS)] * 5 + [cs(1)] * 5 + [cs(nb)] * 2
-    rows_of = [QS] * 5 + [1] * 5 + [nb] * 2
+    state_specs = [cs(QS)] * 6 + [cs(1)] * 5 + [cs(nb)] * 2
+    rows_of = [QS] * 6 + [1] * 5 + [nb] * 2
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((n_blocks, 1), lambda b: (0, 0),
@@ -433,8 +485,8 @@ def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(step0_arr, block_seeds, st[12], *st[:12])
-    return tuple(outs) + (st[12],)
+    )(step0_arr, block_seeds, st[13], *st[:13])
+    return tuple(outs) + (st[13],)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
@@ -472,7 +524,7 @@ def run_segment(carry: PallasFull3DCarry, start_outer, spec: ChainSpec,
     def chunk(s, outer_idx):
         s = _run_block_segment(s, block_seeds, outer_idx * stride, spec,
                                stride)
-        return s, s[5][0]  # energy row -> (C,)
+        return s, s[6][0]  # energy row -> (C,)
 
     st, ys = lax.scan(chunk, st, start_outer + jnp.arange(n_outer))
     return _external_carry(block_seeds, occ, st, spec.q_eff, spec.N), ys

@@ -179,9 +179,15 @@ def test_shared_kernel_sharded_matches_same_block_layout():
     )
 
 
-def test_shared_kernel_rejects_full3d():
-    with pytest.raises(ValueError, match="board"):
-        _spec(mcmc_type="full_3d", N=4)
+def test_shared_kernel_full3d_routes_to_full3d_shared():
+    """Round 3: pallas_shared covers full_3d too (kernels/full3d_shared.py,
+    tested in tests/test_full3d_shared.py); the spec must accept it and the
+    runner must route it to the shared full-3D module."""
+    from mcqueens.dist.runner import _modules
+    from mcqueens.kernels import full3d_shared
+
+    spec = _spec(mcmc_type="full_3d", N=4)
+    assert _modules(spec) is full3d_shared
 
 
 def test_counter_prng_uniformity():

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Demonstrate the operation that caps full_3d throughput on this chip.
+
+Any exact full_3d Metropolis step must know how many queens attack the
+proposed cell.  With no per-lane gather/scatter on this Mosaic target
+(``tools/probe_gather.py``), a per-chain count table cannot be maintained
+(the mover's old-cell decrement is a per-lane scatter), so every design
+ends at an O(Q) one-vs-all pass over the queen coordinate planes per
+proposal.  This probe measures the PRODUCTION shared-site kernel at several
+queen counts Q (same N, chains, segment) and fits
+
+    block-step time  t(Q) = a + b * Q
+
+The b*Q term is the O(Q) coordinate pass (plus its reduce); the fit shows
+it dominating the step (the share is printed), i.e. the kernel is bound by
+the irreducible pass, not by sampler logic — the "specific operation that
+caps it".  The extrapolated a (overhead at Q -> 0) bounds what any further
+logic-tuning could recover.
+
+(An earlier micro-benchmark of an isolated pass was retired: its timings
+disagreed with the production kernel in both directions depending on
+memory-space plumbing, so the production kernel itself is the probe.)
+
+Usage:  python -m tools.probe_full3d_cap [--json out.json] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def kernel_block_step_us(Q: int, chains: int = 32768, seg: int = 8192,
+                         seconds: float = 5.0):
+    """Mean time for one 2048-chain block to advance one step, given Q."""
+    import jax  # noqa: F401
+
+    from mcqueens.chain.spec import ChainSpec
+    from mcqueens.core.schedules import build_schedule
+    from mcqueens.kernels import full3d_shared as mod
+
+    horizon = 2 ** 24
+    spec = ChainSpec(
+        N=16, n_steps=horizon, Q=Q,
+        schedule=build_schedule("linear_annealing", horizon,
+                                beta_start=1.0, beta_end=5.0),
+        init_mode="random", mcmc_type="full_3d", kernel="pallas_shared",
+        history_stride=seg,
+    )
+    seeds = np.arange(chains, dtype=np.uint32)
+    carry = mod.init_carry_batch(seeds, spec)
+    carry, _ = mod.run_segment(carry, np.int32(0), spec, 1)
+    _ = np.asarray(carry.energy)  # sync (block_until_ready unreliable here)
+    t0 = time.time()
+    done, s = 0, 1
+    while time.time() - t0 < seconds:
+        carry, _ = mod.run_segment(carry, np.int32(s), spec, 1)
+        s += 1
+        done += seg
+        _ = np.asarray(carry.energy)
+    dt = time.time() - t0
+    n_blocks = chains // mod.DEFAULT_BLOCK
+    return dt / (done * n_blocks) * 1e6, done * chains / dt
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json", default=None)
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args(argv)
+
+    from mcqueens.utils import cache
+
+    cache.enable()
+
+    # 384 is the largest Q whose 6 (QS, 2048) planes + scratch fit the
+    # kernel's 100 MB scoped-VMEM budget (512 exceeds it by ~2.5 MB).
+    qs = [64, 256] if args.quick else [32, 64, 128, 256, 384]
+    seconds = 2.0 if args.quick else 5.0
+    out = {"N": 16, "chains": 32768, "points": {}}
+    ts = []
+    for Q in qs:
+        us, rate = kernel_block_step_us(Q, seconds=seconds)
+        out["points"][str(Q)] = {"block_step_us": round(us, 3),
+                                 "moves_per_s_chip": rate}
+        ts.append(us)
+        print(f"Q={Q}: block-step {us:.2f} us -> {rate:.3e} moves/s/chip",
+              flush=True)
+    # Least-squares fit t = a + b*Q.
+    A = np.stack([np.ones(len(qs)), np.asarray(qs, float)], axis=1)
+    (a, b), *_ = np.linalg.lstsq(A, np.asarray(ts), rcond=None)
+    share_256 = b * 256 / (a + b * 256)
+    out["fit"] = {"a_us": round(float(a), 3), "b_us_per_queen": round(float(b), 5),
+                  "pass_share_at_Q256": round(float(share_256), 3)}
+    print(f"fit: t(Q) = {a:.2f} + {b:.4f}*Q us; O(Q) pass share at Q=256: "
+          f"{share_256:.0%} (cap: the one-vs-all coordinate pass)",
+          flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

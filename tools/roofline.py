@@ -229,6 +229,8 @@ def main(argv=None) -> int:
          16384 // scale, 8192 // scale),
         ("Pallas per-chain (full_3d)", "pallas", "full_3d",
          16384 // scale, 8192 // scale),
+        ("Pallas shared-site lazy (full_3d)", "pallas_shared", "full_3d",
+         32768 // scale, 8192 // scale),
         ("Pallas shared-site sliced (board)", "pallas_shared", "board",
          32768 // scale, 32768 // scale),
         # The BASELINE.json-letter configuration (4096 chains): the stated
