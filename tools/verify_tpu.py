@@ -110,7 +110,8 @@ def check_incremental_vs_oracle():
     checked = []
     for kern, mt in (("tables", "board"), ("naive", "board"),
                      ("pallas", "board"), ("pallas_shared", "board"),
-                     ("pallas", "full_3d"), ("tables", "full_3d")):
+                     ("pallas", "full_3d"), ("tables", "full_3d"),
+                     ("pallas_shared", "full_3d")):
         res = runner.run_chains(seeds, _spec(kernel=kern, mcmc_type=mt))
         oracle = (_oracle_board_energy if mt == "board"
                   else _oracle_full3d_energy)
@@ -150,21 +151,27 @@ def check_tpu_vs_interpret_streams():
     assert np.array_equal(np.asarray(tys), np.asarray(iys))
     msgs.append("pallas_shared(board)")
 
-    spec3 = _spec(kernel="pallas", mcmc_type="full_3d", N=6, n_steps=512,
-                  history_stride=128)
-    seeds = np.arange(128, dtype=np.uint32)
-    tc = full3d_pallas.init_carry_batch(seeds, spec3)
-    tc, tys = full3d_pallas.run_segment(tc, np.int32(0), spec3, spec3.n_outer)
-    tpu_state = {f: np.asarray(getattr(tc, f)) for f in tc._fields}
-    with jax.default_device(cpu):
-        with pltpu.force_tpu_interpret_mode():
-            ic = full3d_pallas.init_carry_batch(seeds, spec3)
-            ic, iys = full3d_pallas.run_segment(ic, np.int32(0), spec3,
-                                                spec3.n_outer)
-            int_state = {f: np.asarray(getattr(ic, f)) for f in ic._fields}
-    for f in tpu_state:
-        assert np.array_equal(tpu_state[f], int_state[f]), ("full3d", f)
-    msgs.append("pallas(full_3d)")
+    from mcqueens.kernels import full3d_shared
+
+    for label, mod3 in (("pallas(full_3d)", full3d_pallas),
+                        ("pallas_shared(full_3d)", full3d_shared)):
+        spec3 = _spec(kernel="pallas", mcmc_type="full_3d", N=6, n_steps=512,
+                      history_stride=128)
+        seeds = np.arange(128, dtype=np.uint32)
+        tc = mod3.init_carry_batch(seeds, spec3)
+        tc, tys = mod3.run_segment(tc, np.int32(0), spec3, spec3.n_outer)
+        tpu_state = {f: np.asarray(getattr(tc, f)) for f in tc._fields}
+        with jax.default_device(cpu):
+            with pltpu.force_tpu_interpret_mode():
+                ic = mod3.init_carry_batch(seeds, spec3)
+                ic, iys = mod3.run_segment(ic, np.int32(0), spec3,
+                                           spec3.n_outer)
+                int_state = {f: np.asarray(getattr(ic, f))
+                             for f in ic._fields}
+        for f in tpu_state:
+            assert np.array_equal(tpu_state[f], int_state[f]), (label, f)
+        assert np.array_equal(np.asarray(tys), np.asarray(iys)), label
+        msgs.append(label)
     return "TPU == interpret bitwise: " + ", ".join(msgs)
 
 
