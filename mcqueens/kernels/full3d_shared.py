@@ -115,12 +115,17 @@ def padded_chains(n_chains: int) -> int:
     return -(-n_chains // blk) * blk
 
 
-def _kernel(step0_ref, seed_ref, cs_in,
-            qi_in, qj_in, qk_in, bqi_in, bqj_in, bqk_in,
-            e_in, be_in, bs_in, ni_in, st_in, ab_in, tb_in,
-            qi_o, qj_o, qk_o, bqi_o, bqj_o, bqk_o,
-            e_o, be_o, bs_o, ni_o, st_o, ab_o, tb_o,
-            *, spec: ChainSpec, n_inner: int):
+def _kernel(step0_ref, seed_ref, cs_in, *refs,
+            spec: ChainSpec, n_inner: int, tempered: bool = False):
+    if tempered:
+        # Per-chain beta scale row (parallel tempering): effective beta is
+        # spec.schedule(step) * beta_scale[chain] — same contract as
+        # board_shared's tempered mode.
+        beta_in, *refs = refs
+    (qi_in, qj_in, qk_in, bqi_in, bqj_in, bqk_in,
+     e_in, be_in, bs_in, ni_in, st_in, ab_in, tb_in,
+     qi_o, qj_o, qk_o, bqi_o, bqj_o, bqk_o,
+     e_o, be_o, bs_o, ni_o, st_o, ab_o, tb_o) = refs
     N = spec.N
     Q = spec.q_eff
     N3 = N * N * N
@@ -130,6 +135,7 @@ def _kernel(step0_ref, seed_ref, cs_in,
 
     seed = seed_ref[pl.program_id(0), 0]
     step0 = step0_ref[0, 0]
+    beta_scale = beta_in[:] if tempered else None
     cand_base = seed * jnp.int32(0x2545F491) + _CAND_SALT
     mover_base = seed * jnp.int32(0x2545F491) + _MOVER_SALT
     g = prng.chain_streams(cs_in[:])
@@ -258,6 +264,8 @@ def _kernel(step0_ref, seed_ref, cs_in,
             gstep_f = (jnp.full((1, 1), 0, jnp.float32)
                        + gstep.astype(jnp.float32))
             beta = spec.schedule(gstep_f)
+            if beta_scale is not None:
+                beta = beta * beta_scale
             accept = u < jnp.exp(-beta * d_e.astype(jnp.float32))
 
             done = st < spec.n_steps
@@ -451,12 +459,13 @@ def _external_carry(block_seeds, occ, st, Q: int, N: int) -> PallasFull3DCarry:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "n_inner"))
-def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
+def _block_segment_call(st, block_seeds, step0, spec: ChainSpec,
+                        n_inner: int, beta_row=None):
     QS, C = st[0].shape
     n_blocks = block_seeds.shape[0]
     c_blk = C // n_blocks
     nb = spec.n_bins
+    tempered = beta_row is not None
 
     def cs(rows):
         return pl.BlockSpec((rows, c_blk), lambda b: (0, b),
@@ -464,29 +473,39 @@ def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
 
     state_specs = [cs(QS)] * 6 + [cs(1)] * 5 + [cs(nb)] * 2
     rows_of = [QS] * 6 + [1] * 5 + [nb] * 2
+    beta_specs = [cs(1)] if tempered else []
     in_specs = [
         pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((n_blocks, 1), lambda b: (0, 0),
                      memory_space=pltpu.SMEM),
         cs(1),  # chain_seeds row (read-only)
+        *beta_specs,
     ] + state_specs
     out_shape = tuple(
         jax.ShapeDtypeStruct((r, C), jnp.int32) for r in rows_of
     )
     step0_arr = (jnp.zeros((1, 1), jnp.int32) + step0).astype(jnp.int32)
+    beta_args = (beta_row,) if tempered else ()
+    n_state_in = 3 + len(beta_args)
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, spec=spec, n_inner=n_inner),
+        functools.partial(_kernel, spec=spec, n_inner=n_inner,
+                          tempered=tempered),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=tuple(state_specs),
         out_shape=out_shape,
-        input_output_aliases={i + 3: i for i in range(len(rows_of))},
+        input_output_aliases={i + n_state_in: i for i in range(len(rows_of))},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(step0_arr, block_seeds, st[13], *st[:13])
+    )(step0_arr, block_seeds, st[13], *beta_args, *st[:13])
     return tuple(outs) + (st[13],)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_inner"))
+def _run_block_segment(st, block_seeds, step0, spec: ChainSpec, n_inner: int):
+    return _block_segment_call(st, block_seeds, step0, spec, n_inner)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "block"))
@@ -530,6 +549,30 @@ def run_segment(carry: PallasFull3DCarry, start_outer, spec: ChainSpec,
     return _external_carry(block_seeds, occ, st, spec.q_eff, spec.N), ys
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "n_outer"))
+def run_segment_tempered(carry: PallasFull3DCarry, beta_scale, start_outer,
+                         spec: ChainSpec, n_outer: int):
+    """:func:`run_segment` with a per-chain beta scale (parallel tempering).
+
+    Same contract as :func:`board_shared.run_segment_tempered`: each chain
+    samples at ``spec.schedule(step) * beta_scale[chain]``; exchange moves
+    between segments live in :mod:`mcqueens.search.tempering`.
+    """
+    stride = spec.history_stride
+    st = _internal_state(carry, spec.N)
+    block_seeds = carry.block_seeds
+    occ = carry.occ
+    beta_row = jnp.asarray(beta_scale, jnp.float32).reshape(1, -1)
+
+    def chunk(s, outer_idx):
+        s = _block_segment_call(s, block_seeds, outer_idx * stride, spec,
+                                stride, beta_row=beta_row)
+        return s, s[6][0]
+
+    st, ys = lax.scan(chunk, st, start_outer + jnp.arange(n_outer))
+    return _external_carry(block_seeds, occ, st, spec.q_eff, spec.N), ys
+
+
 @functools.cache
 def _sharded_segment_fn(spec: ChainSpec, n_outer: int, mesh):
     from jax.sharding import PartitionSpec as P
@@ -551,3 +594,29 @@ def _sharded_segment_fn(spec: ChainSpec, n_outer: int, mesh):
 
 def run_segment_sharded(carry, start_outer, spec, n_outer, mesh):
     return _sharded_segment_fn(spec, n_outer, mesh)(carry, start_outer)
+
+
+@functools.cache
+def _sharded_tempered_fn(spec: ChainSpec, n_outer: int, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    from mcqueens.dist.mesh import CHAINS_AXIS
+
+    carry_specs = PallasFull3DCarry(*([P(CHAINS_AXIS)] * len(
+        PallasFull3DCarry._fields)))
+    return jax.jit(
+        jax.shard_map(
+            lambda c, b, s: run_segment_tempered(c, b, s, spec, n_outer),
+            mesh=mesh,
+            in_specs=(carry_specs, P(CHAINS_AXIS), P()),
+            out_specs=(carry_specs, P(None, CHAINS_AXIS)),
+            check_vma=False,
+        )
+    )
+
+
+def run_segment_tempered_sharded(carry, beta_scale, start_outer, spec,
+                                 n_outer, mesh):
+    """Tempered full_3d segments over a chains mesh (shard-local groups)."""
+    return _sharded_tempered_fn(spec, n_outer, mesh)(
+        carry, beta_scale, start_outer)

@@ -1,4 +1,4 @@
-"""Parallel tempering (replica exchange) over the shared-site board kernel.
+"""Parallel tempering (replica exchange) over the shared-site kernels.
 
 A beyond-reference search capability: the reference anneals independent
 chains (``/root/reference/experiments.py:282-376``); simulated annealing gets
@@ -16,8 +16,9 @@ Layout: chain ``c`` sits at ladder level ``c % L`` in replica group
 levels in each group attempt a swap with the standard acceptance
 ``min(1, exp((beta_a - beta_b) * (E_a - E_b)))``, alternating odd/even pairs
 (deterministic-even-odd scheme).  Swapping *temperatures* rather than states
-keeps the O(N^2) board state resident in VMEM; only the (C,) beta row is
-rewritten.
+keeps the O(N^2) board state (or the full_3d queen planes — both
+``pallas_shared`` variants are supported) resident in VMEM; only the (C,)
+beta row is rewritten.
 
 Validity with the shared-site kernel: chains in a VMEM block share each
 step's proposal site, but conditioned on the site sequence every chain's
@@ -130,8 +131,8 @@ def run_tempered(
     Args:
         seeds: (R,) per-chain integer seeds (R should be a multiple of
             ``len(ladder)`` so every group is complete).
-        spec: chain spec with ``kernel='pallas_shared'`` and
-            ``mcmc_type='board'``.  ``spec.schedule`` multiplies the ladder:
+        spec: chain spec with ``kernel='pallas_shared'`` (either
+            ``mcmc_type``).  ``spec.schedule`` multiplies the ladder:
             a constant-1 schedule gives plain parallel tempering at the
             ladder values; an annealing schedule anneals the whole ladder.
         ladder: (L,) ascending beta values (see :func:`geometric_ladder`).
@@ -159,11 +160,13 @@ def run_tempered(
         optionally the beta history.
     """
     from mcqueens.dist import runner as runner_mod
-    from mcqueens.kernels import board_shared
 
-    if spec.kernel != "pallas_shared" or spec.mcmc_type != "board":
-        raise ValueError("run_tempered requires kernel='pallas_shared', "
-                         "mcmc_type='board'")
+    if spec.kernel != "pallas_shared":
+        raise ValueError("run_tempered requires kernel='pallas_shared'")
+    if spec.mcmc_type == "board":
+        from mcqueens.kernels import board_shared as kmod
+    else:
+        from mcqueens.kernels import full3d_shared as kmod
     if exchange_interval < 1:
         raise ValueError("exchange_interval must be >= 1")
     ladder = np.asarray(ladder, np.float32)
@@ -183,7 +186,7 @@ def run_tempered(
         # the padded chain count is exactly n_dev * k * block.
         n_dev = int(mesh.devices.size)
         per_dev = -(-n_runs // n_dev)
-        block = board_shared.block_size(per_dev)
+        block = kmod.block_size(per_dev)
         per_dev = -(-per_dev // block) * block
         total = per_dev * n_dev
         if total > n_runs:
@@ -198,7 +201,7 @@ def run_tempered(
                 f"devices)")
     else:
         seeds_padded = seeds
-    carry = board_shared.init_carry_batch(
+    carry = kmod.init_carry_batch(
         seeds_padded, spec, block=block, initial_states=initial_states)
     C = int(carry.energy.shape[0])
     reps = -(-C // n_levels)
@@ -232,10 +235,10 @@ def run_tempered(
         seg0 = r * exchange_interval
         n_seg = min(exchange_interval, spec.n_outer - seg0)
         if mesh is None:
-            carry, ys = board_shared.run_segment_tempered(
+            carry, ys = kmod.run_segment_tempered(
                 carry, betas, np.int32(seg0), spec, n_seg)
         else:
-            carry, ys = board_shared.run_segment_tempered_sharded(
+            carry, ys = kmod.run_segment_tempered_sharded(
                 carry, betas, np.int32(seg0), spec, n_seg, mesh)
         history.append(np.asarray(ys))
         if record_betas:
@@ -259,14 +262,25 @@ def run_tempered(
     best_energy = np.asarray(carry.best_energy).reshape(-1)
     wall = time.time() - t0
 
+    if spec.mcmc_type == "board":
+        best_state = np.asarray(carry.best_heights, dtype=np.int64).reshape(
+            -1, spec.N, spec.N)
+        final_state = np.asarray(carry.heights, dtype=np.int64).reshape(
+            -1, spec.N, spec.N)
+    else:
+        best_state = np.stack(
+            [np.asarray(carry.best_qi), np.asarray(carry.best_qj),
+             np.asarray(carry.best_qk)], axis=-1)
+        final_state = np.stack(
+            [np.asarray(carry.qi), np.asarray(carry.qj),
+             np.asarray(carry.qk)], axis=-1)
+
     s = slice(0, n_runs)
     out = {
         "best_energy": best_energy[s],
-        "best_state": np.asarray(carry.best_heights, dtype=np.int64)
-        .reshape(-1, spec.N, spec.N)[s],
+        "best_state": best_state[s],
         "final_energy": np.asarray(carry.energy).reshape(-1)[s],
-        "final_state": np.asarray(carry.heights, dtype=np.int64)
-        .reshape(-1, spec.N, spec.N)[s],
+        "final_state": final_state[s],
         "energy_history": np.concatenate(history, axis=0).T[s],
         "betas": np.asarray(betas)[s],
         "ladder": ladder,

@@ -293,3 +293,33 @@ def test_tempered_checkpoint_resume_bitwise(tmp_path, monkeypatch):
         plain = tempering.run_tempered(seeds, spec, other, swap_seed=7)
     np.testing.assert_array_equal(fresh["energy_history"],
                                   plain["energy_history"])
+
+
+def test_tempered_full3d_invariants():
+    """Round 3: tempering composes with the full_3d shared kernel too."""
+    spec = ChainSpec(
+        N=5,
+        n_steps=300,
+        schedule=build_schedule("constant", 300, beta_const=1.0),
+        init_mode="random",
+        mcmc_type="full_3d",
+        kernel="pallas_shared",
+        history_stride=50,
+    )
+    ladder = tempering.geometric_ladder(0.3, 3.0, 4)
+    with pltpu.force_tpu_interpret_mode():
+        out = tempering.run_tempered(
+            np.arange(8, dtype=np.uint32), spec, ladder, swap_seed=5,
+            record_betas=True)
+    for r in range(8):
+        assert out["final_energy"][r] == _oracle.full3d_energy(
+            out["final_state"][r])
+        assert out["best_energy"][r] == _oracle.full3d_energy(
+            out["best_state"][r])
+        assert out["best_energy"][r] <= out["energy_history"][r].min()
+        assert len({tuple(q) for q in out["final_state"][r].tolist()}) == 25
+    b = out["betas"].reshape(2, 4)
+    for g in range(2):
+        np.testing.assert_allclose(np.sort(b[g]), np.sort(ladder))
+    # Swaps happen (betas move between levels at least once).
+    assert (out["betas_history"] != out["betas_history"][0]).any()
