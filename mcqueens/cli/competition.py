@@ -26,6 +26,11 @@ def main(argv=None) -> int:
     parser.add_argument("--n-runs", type=int, default=10)
     parser.add_argument("--n-steps", type=int, default=100000)
     parser.add_argument("--init-mode", default="random")
+    parser.add_argument("--mcmc-type", default="board",
+                        choices=("board", "full_3d"),
+                        help="board (reference competition default) or "
+                             "full_3d; the i,j,k export format covers both "
+                             "(a full_3d export lists the Q queens)")
     parser.add_argument("--beta-start", type=float, default=1.0)
     parser.add_argument("--beta-end", type=float, default=3.0)
     parser.add_argument("--seed", type=int, default=42)
@@ -88,12 +93,18 @@ def main(argv=None) -> int:
 
     initial_states = None
     if args.resume_from:
-        board = np.zeros((args.n, args.n), np.int32)
+        rows = []
         with open(args.resume_from) as f:
             for line in f:
-                i, j, k = (int(x) for x in line.strip().split(","))
+                rows.append([int(x) for x in line.strip().split(",")])
+        if args.mcmc_type == "board":
+            board = np.zeros((args.n, args.n), np.int32)
+            for i, j, k in rows:
                 board[i, j] = k
-        initial_states = np.repeat(board[None], args.n_runs, axis=0)
+            state = board
+        else:
+            state = np.asarray(rows, np.int32)  # (Q, 3) queens
+        initial_states = np.repeat(state[None], args.n_runs, axis=0)
 
     if args.tempering:
         from mcqueens.chain.spec import ChainSpec
@@ -105,7 +116,7 @@ def main(argv=None) -> int:
             N=args.n, n_steps=args.n_steps,
             schedule=build_schedule("constant", args.n_steps,
                                     beta_const=1.0),
-            init_mode=args.init_mode, mcmc_type="board",
+            init_mode=args.init_mode, mcmc_type=args.mcmc_type,
             history_stride=stride, kernel=args.kernel,
         )
         ladder = tempering_mod.geometric_ladder(
@@ -142,7 +153,7 @@ def main(argv=None) -> int:
 
         spec = ChainSpec(
             N=args.n, n_steps=args.n_steps, schedule=schedule,
-            init_mode=args.init_mode, mcmc_type="board",
+            init_mode=args.init_mode, mcmc_type=args.mcmc_type,
             early_stop_patience=args.early_stop_patience,
             history_stride=stride, kernel=args.kernel,
         )
@@ -155,7 +166,8 @@ def main(argv=None) -> int:
         res = runner.run_experiment(
             N=args.n, n_steps=args.n_steps, init_mode=args.init_mode,
             schedule=schedule, n_runs=args.n_runs, base_seed=args.seed,
-            mcmc_type="board", early_stop_patience=args.early_stop_patience,
+            mcmc_type=args.mcmc_type,
+            early_stop_patience=args.early_stop_patience,
             verbose=True, mesh=mesh, history_stride=stride, kernel=args.kernel,
             checkpointer=checkpointer,
         )
@@ -176,16 +188,20 @@ def main(argv=None) -> int:
 
 
 def _export(args, best) -> None:
-    """Write the winning board in the reference's i,j,k format
-    (``competition.py:181-187``)."""
+    """Write the winning state in the reference's i,j,k format
+    (``competition.py:181-187``); a full_3d state lists its Q queens."""
     out_dir = os.path.join(args.outdir, "competition_results")
     os.makedirs(out_dir, exist_ok=True)
     ts = time.strftime("%Y%m%d_%H%M")
     path = os.path.join(out_dir, f"best_heights_{args.n}_{ts}.txt")
     with open(path, "w") as f:
-        for i in range(args.n):
-            for j in range(args.n):
-                f.write(f"{i},{j},{best[i, j]}\n")
+        if best.ndim == 2 and best.shape[1] == 3 and args.mcmc_type == "full_3d":
+            for i, j, k in best:
+                f.write(f"{i},{j},{k}\n")
+        else:
+            for i in range(args.n):
+                for j in range(args.n):
+                    f.write(f"{i},{j},{best[i, j]}\n")
     print(f"wrote {path}")
 
 

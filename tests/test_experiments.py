@@ -320,3 +320,35 @@ def test_competition_checkpoint_resume(tmp_path):
 
     assert read(tmp_path / "plain") == read(tmp_path / "ck")
     assert read(tmp_path / "plain") == read(tmp_path / "ck2")
+
+
+def test_competition_full3d_cli(tmp_path):
+    """--mcmc-type full_3d: the i,j,k export lists the Q queens and
+    round-trips through --resume-from; --tempering works for the variant."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mcqueens.cli import competition
+    from tests import _oracle
+
+    with pltpu.force_tpu_interpret_mode():
+        rc = competition.main([
+            "--n", "5", "--n-runs", "4", "--n-steps", "200",
+            "--mcmc-type", "full_3d", "--kernel", "pallas_shared",
+            "--tempering", "4", "--beta-start", "0.5", "--beta-end", "3.0",
+            "--history-stride", "50", "--outdir", str(tmp_path),
+        ])
+    assert rc == 0
+    exported = sorted((tmp_path / "competition_results").glob("*.txt"))[-1]
+    rows = np.asarray(
+        [[int(x) for x in line.split(",")]
+         for line in exported.read_text().splitlines()])
+    assert rows.shape == (25, 3)  # Q = N^2 queens
+    assert len({tuple(r) for r in rows.tolist()}) == 25
+    _oracle.full3d_energy(rows)  # well-formed coordinates
+    # Warm-start a short plain anneal from the export.
+    rc = competition.main([
+        "--n", "5", "--n-runs", "2", "--n-steps", "100",
+        "--mcmc-type", "full_3d", "--resume-from", str(exported),
+        "--history-stride", "50", "--outdir", str(tmp_path / "r2"),
+    ])
+    assert rc == 0
