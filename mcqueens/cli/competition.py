@@ -86,10 +86,22 @@ def main(argv=None) -> int:
     if args.checkpoint_dir:
         from mcqueens.utils.checkpoint import Checkpointer
 
-        tag = (f"competition_N{args.n}_r{args.n_runs}_s{args.seed}"
-               f"_{args.kernel}" + (f"_T{args.tempering}" if args.tempering
-                                    else ""))
-        checkpointer = Checkpointer(args.checkpoint_dir, tag=tag)
+        # The tag carries every run-shaping flag so two different searches
+        # sharing a --checkpoint-dir never clobber (or silently ignore)
+        # each other's file; the spec fingerprint inside the checkpoint
+        # still guards against anything the tag misses.
+        tag = (f"competition_{args.mcmc_type}_N{args.n}_r{args.n_runs}"
+               f"_st{args.n_steps}_b{args.beta_start:g}-{args.beta_end:g}"
+               f"_s{args.seed}_{args.kernel}"
+               + (f"_T{args.tempering}" if args.tempering else ""))
+        # Each save rewrites the full accumulated history, so saving every
+        # segment costs O(segments^2) I/O on long runs; cap the run at ~16
+        # checkpoint writes (a kill loses at most 1/16 of the progress).
+        segs = max(1, args.n_steps // stride)
+        if args.tempering:
+            segs = -(-segs // args.exchange_interval)
+        checkpointer = Checkpointer(args.checkpoint_dir, tag=tag,
+                                    every=max(1, segs // 16))
 
     initial_states = None
     if args.resume_from:

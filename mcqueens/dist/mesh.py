@@ -68,6 +68,52 @@ def pad_chains(n_chains: int, mesh: Mesh | None) -> int:
     return -(-n_chains // d) * d
 
 
+def pad_seeds_to_blocks(seeds, mesh: Mesh, block_size_fn):
+    """Pad a seed list so every device owns whole pallas VMEM blocks.
+
+    The block is sized from ONE device's share (``block_size_fn(per_dev)``)
+    and the total is rounded to ``n_dev * k * block`` with distinct
+    follow-on seeds (padded lanes are discarded at slice time).  The single
+    sizing rule shared by ``dist.runner`` and ``search.tempering``.
+
+    Returns ``(padded_seeds, block)``.
+    """
+    seeds = np.asarray(seeds, dtype=np.uint32)
+    n = seeds.shape[0]
+    n_dev = int(mesh.devices.size)
+    per_dev = -(-n // n_dev)
+    block = block_size_fn(per_dev)
+    per_dev = -(-per_dev // block) * block
+    total = per_dev * n_dev
+    if total > n:
+        pad = seeds[-1] + 1 + np.arange(total - n, dtype=np.uint32)
+        seeds = np.concatenate([seeds, pad])
+    return seeds, block
+
+
+def shard_segment_fn(fn, carry_type, mesh: Mesh, *, tempered: bool = False):
+    """``jit(shard_map(...))`` of a kernel segment fn over the chains mesh.
+
+    ``fn`` is ``(carry, start) -> (carry, ys)`` — or, with ``tempered=True``,
+    ``(carry, beta_scale, start) -> (carry, ys)`` where the per-chain beta
+    row is sharded alongside the carry.  Every carry leaf shards on axis 0;
+    ``ys`` is ``(n_outer, C)`` with chains on axis 1.  Used via per-kernel
+    ``functools.cache`` wrappers keyed on (spec, n_outer, mesh).
+    """
+    carry_specs = carry_type(*([P(CHAINS_AXIS)] * len(carry_type._fields)))
+    in_specs = ((carry_specs, P(CHAINS_AXIS), P()) if tempered
+                else (carry_specs, P()))
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(carry_specs, P(None, CHAINS_AXIS)),
+            check_vma=False,
+        )
+    )
+
+
 def global_best_stats(best_energy, energies):
     """Device-side reduction of the only cross-chain quantities.
 

@@ -162,18 +162,10 @@ def run_chains(
     is_pallas = spec.kernel in ("pallas", "pallas_shared")
     pallas_block = None
     if is_pallas and mesh is not None:
-        # Each device must own whole VMEM blocks: pick the block from one
-        # device's share and pad the chain count to devices * block multiple.
-        n_dev = mesh.devices.size
-        per_dev = -(-n_padded // n_dev)
-        pallas_block = mod.block_size(per_dev)
-        per_dev = -(-per_dev // pallas_block) * pallas_block
-        total = per_dev * n_dev
-        if total > seeds.shape[0]:
-            pad = seeds[-1] + 1 + np.arange(
-                total - seeds.shape[0], dtype=np.uint32
-            )
-            seeds = np.concatenate([seeds, pad])
+        # Each device must own whole VMEM blocks (init_carry_batch pads any
+        # shorter initial_states by repeating the last warm start).
+        seeds, pallas_block = mesh_mod.pad_seeds_to_blocks(
+            seeds, mesh, lambda c: mod.block_size(c, spec))
     if is_pallas:
         init_arg = seeds
     else:

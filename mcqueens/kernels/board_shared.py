@@ -71,7 +71,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mcqueens.chain.spec import ChainSpec
 from mcqueens.core import tables as tables_mod
-from mcqueens.kernels import prng
+from mcqueens.kernels import prng, sizing
 from mcqueens.kernels.metropolis_pallas import PallasBoardCarry
 
 # Chains per VMEM block along the lane axis.  2048 lanes balances VMEM
@@ -94,14 +94,18 @@ def _sn(N: int) -> int:
     return -(-N // 8) * 8
 
 
-def block_size(n_chains: int) -> int:
-    if n_chains >= DEFAULT_BLOCK:
-        return DEFAULT_BLOCK
-    return -(-n_chains // _LANE) * _LANE
+def block_size(n_chains: int, spec=None) -> int:
+    """Chains per VMEM block; pass ``spec`` to cap the block by scoped VMEM
+    (5 (~N^2, block) i32 layouts resident per block — the default 2048
+    block stops fitting the 100 MB limit at N >= 22)."""
+    cap = DEFAULT_BLOCK
+    if spec is not None:
+        cap = sizing.block_cap(5 * _sn(spec.N) * spec.N, DEFAULT_BLOCK)
+    return sizing.block_size(n_chains, cap)
 
 
-def padded_chains(n_chains: int) -> int:
-    blk = block_size(n_chains)
+def padded_chains(n_chains: int, spec=None) -> int:
+    blk = block_size(n_chains, spec)
     return -(-n_chains // blk) * blk
 
 
@@ -483,7 +487,7 @@ def init_carry_batch(seeds, spec: ChainSpec,
     seeds = jnp.asarray(seeds, jnp.uint32)
     C0 = seeds.shape[0]
     if block is None:
-        block = block_size(C0)
+        block = block_size(C0, spec)
     C = -(-C0 // block) * block
     if C > C0:
         seeds = jnp.concatenate(
@@ -652,21 +656,11 @@ def recover_best_heights(carry: PallasBoardCarry, spec: ChainSpec,
 
 @functools.cache
 def _sharded_segment_fn(spec: ChainSpec, n_outer: int, mesh):
-    from jax.sharding import PartitionSpec as P
+    from mcqueens.dist import mesh as mesh_mod
 
-    from mcqueens.dist.mesh import CHAINS_AXIS
-
-    carry_specs = PallasBoardCarry(*([P(CHAINS_AXIS)] * len(
-        PallasBoardCarry._fields)))
-    return jax.jit(
-        jax.shard_map(
-            lambda c, s: run_segment(c, s, spec, n_outer),
-            mesh=mesh,
-            in_specs=(carry_specs, P()),
-            out_specs=(carry_specs, P(None, CHAINS_AXIS)),
-            check_vma=False,
-        )
-    )
+    return mesh_mod.shard_segment_fn(
+        lambda c, s: run_segment(c, s, spec, n_outer),
+        PallasBoardCarry, mesh)
 
 
 def run_segment_sharded(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
@@ -677,21 +671,11 @@ def run_segment_sharded(carry: PallasBoardCarry, start_outer, spec: ChainSpec,
 
 @functools.cache
 def _sharded_tempered_fn(spec: ChainSpec, n_outer: int, mesh):
-    from jax.sharding import PartitionSpec as P
+    from mcqueens.dist import mesh as mesh_mod
 
-    from mcqueens.dist.mesh import CHAINS_AXIS
-
-    carry_specs = PallasBoardCarry(*([P(CHAINS_AXIS)] * len(
-        PallasBoardCarry._fields)))
-    return jax.jit(
-        jax.shard_map(
-            lambda c, b, s: run_segment_tempered(c, b, s, spec, n_outer),
-            mesh=mesh,
-            in_specs=(carry_specs, P(CHAINS_AXIS), P()),
-            out_specs=(carry_specs, P(None, CHAINS_AXIS)),
-            check_vma=False,
-        )
-    )
+    return mesh_mod.shard_segment_fn(
+        lambda c, b, s: run_segment_tempered(c, b, s, spec, n_outer),
+        PallasBoardCarry, mesh, tempered=True)
 
 
 def run_segment_tempered_sharded(carry: PallasBoardCarry, beta_scale,

@@ -75,7 +75,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mcqueens.chain.spec import ChainSpec
-from mcqueens.kernels import prng
+from mcqueens.kernels import prng, sizing
 from mcqueens.kernels.full3d_pallas import PallasFull3DCarry, _qs
 
 DEFAULT_BLOCK = 2048
@@ -85,7 +85,10 @@ _UNROLL_SMALL = 8
 _HOLD = 8  # steps the shared mover is held; a divisor of both unroll sizes,
 # so chunk boundaries — and therefore trajectories — are unroll-invariant.
 
-_CAND_SALT = np.int32(-1640531527)   # 0x9E3779B9: candidate-cell stream
+_CAND_SALT = np.int32(0x7F4A7C15)    # candidate-cell stream; deliberately
+# distinct from board_shared._SITE_SALT (the block re-key formula is the
+# same in both kernels, so a shared salt would make a board run and a
+# full_3d run with equal user seeds draw identical shared-site streams)
 _MOVER_SALT = np.int32(0x3C6EF372)   # mover-index stream
 _OCC_BIT = 1 << 16  # occupancy rides the high bits of the fused sweep
 
@@ -100,18 +103,32 @@ def _pads(N: int):
     14400 at N=32) that the kernel's a2*(a2-m) products are exact in int32.
     Power-of-two sentinels would wrap those products mod 2^32 and can alias
     to zero (2-adic valuation >= 32), forging an attack.
+
+    The exactness precondition is checked, not assumed: the worst product
+    magnitude is max_{a2 in [0, m]} a2*(m - a2) = m^2/4 at m = (3N+24)^2,
+    so int32 exactness needs (3N+24)^4 < 2^33 — it silently stops holding
+    at N >= 94.
     """
+    if (3 * N + 24) ** 4 >= 2 ** 33:
+        raise ValueError(
+            f"full3d_shared supports N <= 93: its pad sentinels need "
+            f"(3N+24)^4 < 2^33 for the a2*(a2-m) attack products to stay "
+            f"exact in int32 arithmetic (got N={N}); use kernel='pallas' "
+            f"for larger boards")
     return N + 8, 2 * N + 16, 3 * N + 24
 
 
-def block_size(n_chains: int) -> int:
-    if n_chains >= DEFAULT_BLOCK:
-        return DEFAULT_BLOCK
-    return -(-n_chains // _LANE) * _LANE
+def block_size(n_chains: int, spec=None) -> int:
+    """Chains per VMEM block; pass ``spec`` to cap the block by scoped VMEM
+    (6 (QS, block) i32 coordinate layouts resident per block)."""
+    cap = DEFAULT_BLOCK
+    if spec is not None:
+        cap = sizing.block_cap(6 * (-(-spec.q_eff // 8) * 8), DEFAULT_BLOCK)
+    return sizing.block_size(n_chains, cap)
 
 
-def padded_chains(n_chains: int) -> int:
-    blk = block_size(n_chains)
+def padded_chains(n_chains: int, spec=None) -> int:
+    blk = block_size(n_chains, spec)
     return -(-n_chains // blk) * blk
 
 
@@ -520,7 +537,7 @@ def init_carry_batch(seeds, spec: ChainSpec,
     from mcqueens.kernels import full3d_pallas
 
     if block is None:
-        block = block_size(jnp.shape(seeds)[0])
+        block = block_size(jnp.shape(seeds)[0], spec)
     carry = full3d_pallas.init_carry_batch(
         seeds, spec, block=block, initial_states=initial_states)
     # Re-key the block seeds so shared-candidate streams differ from any
@@ -575,21 +592,11 @@ def run_segment_tempered(carry: PallasFull3DCarry, beta_scale, start_outer,
 
 @functools.cache
 def _sharded_segment_fn(spec: ChainSpec, n_outer: int, mesh):
-    from jax.sharding import PartitionSpec as P
+    from mcqueens.dist import mesh as mesh_mod
 
-    from mcqueens.dist.mesh import CHAINS_AXIS
-
-    carry_specs = PallasFull3DCarry(*([P(CHAINS_AXIS)] * len(
-        PallasFull3DCarry._fields)))
-    return jax.jit(
-        jax.shard_map(
-            lambda c, s: run_segment(c, s, spec, n_outer),
-            mesh=mesh,
-            in_specs=(carry_specs, P()),
-            out_specs=(carry_specs, P(None, CHAINS_AXIS)),
-            check_vma=False,
-        )
-    )
+    return mesh_mod.shard_segment_fn(
+        lambda c, s: run_segment(c, s, spec, n_outer),
+        PallasFull3DCarry, mesh)
 
 
 def run_segment_sharded(carry, start_outer, spec, n_outer, mesh):
@@ -598,21 +605,11 @@ def run_segment_sharded(carry, start_outer, spec, n_outer, mesh):
 
 @functools.cache
 def _sharded_tempered_fn(spec: ChainSpec, n_outer: int, mesh):
-    from jax.sharding import PartitionSpec as P
+    from mcqueens.dist import mesh as mesh_mod
 
-    from mcqueens.dist.mesh import CHAINS_AXIS
-
-    carry_specs = PallasFull3DCarry(*([P(CHAINS_AXIS)] * len(
-        PallasFull3DCarry._fields)))
-    return jax.jit(
-        jax.shard_map(
-            lambda c, b, s: run_segment_tempered(c, b, s, spec, n_outer),
-            mesh=mesh,
-            in_specs=(carry_specs, P(CHAINS_AXIS), P()),
-            out_specs=(carry_specs, P(None, CHAINS_AXIS)),
-            check_vma=False,
-        )
-    )
+    return mesh_mod.shard_segment_fn(
+        lambda c, b, s: run_segment_tempered(c, b, s, spec, n_outer),
+        PallasFull3DCarry, mesh, tempered=True)
 
 
 def run_segment_tempered_sharded(carry, beta_scale, start_outer, spec,

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mcqueens.chain.spec import ChainSpec
 from mcqueens.core import tables as tables_mod
-from mcqueens.kernels import prng
+from mcqueens.kernels import prng, sizing
 
 # Chains per VMEM block along the lane axis (board planes are (N^2, C)).
 DEFAULT_BLOCK = 2048
@@ -84,14 +84,18 @@ class PallasBoardCarry(NamedTuple):
     total_bins: jax.Array    # (C, n_bins) int32
 
 
-def block_size(n_chains: int) -> int:
-    if n_chains >= DEFAULT_BLOCK:
-        return DEFAULT_BLOCK
-    return -(-n_chains // _LANE) * _LANE
+def block_size(n_chains: int, spec=None) -> int:
+    """Chains per VMEM block; pass ``spec`` to cap the block by scoped VMEM
+    (2 (NNS, block) i32 board layouts resident per block — fits the
+    default block to N ~ 34)."""
+    cap = DEFAULT_BLOCK
+    if spec is not None:
+        cap = sizing.block_cap(2 * _nns(spec.N), DEFAULT_BLOCK)
+    return sizing.block_size(n_chains, cap)
 
 
-def padded_chains(n_chains: int) -> int:
-    blk = block_size(n_chains)
+def padded_chains(n_chains: int, spec=None) -> int:
+    blk = block_size(n_chains, spec)
     return -(-n_chains // blk) * blk
 
 
@@ -356,7 +360,7 @@ def init_carry_batch(seeds, spec: ChainSpec,
     seeds = jnp.asarray(seeds, jnp.uint32)
     C0 = seeds.shape[0]
     if block is None:
-        block = block_size(C0)
+        block = block_size(C0, spec)
     C = -(-C0 // block) * block
     if C > C0:
         seeds = jnp.concatenate(

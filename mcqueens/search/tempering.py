@@ -137,7 +137,9 @@ def run_tempered(
             ladder values; an annealing schedule anneals the whole ladder.
         ladder: (L,) ascending beta values (see :func:`geometric_ladder`).
         swap_seed: seed for the exchange accept draws.
-        initial_states: optional (R, N, N) warm starts.
+        initial_states: optional warm starts — (R, N, N) heights for
+            ``mcmc_type='board'``, (R, Q, 3) queen coordinates for
+            ``'full_3d'``.
         record_betas: also return the per-round (C,) beta assignments
             (memory: rounds x chains floats — small shapes only).
         exchange_interval: kernel segments (of ``history_stride`` steps each)
@@ -151,8 +153,10 @@ def run_tempered(
             because the per-shard chain count is a multiple of the block
             size, which must be a multiple of ``len(ladder)``.
         checkpointer: optional :class:`mcqueens.utils.checkpoint.Checkpointer`
-            — saves (carry, betas, key) after every round and resumes a
-            killed search bit-identically (same rounds, same swap stream).
+            — saves (carry, betas) after each round (at the checkpointer's
+            ``every`` cadence) and resumes a killed search bit-identically;
+            no RNG state is stored because the swap stream is a pure
+            counter function of (swap_seed, round).
 
     Returns:
         dict with best_energy/best_state (over real chains), final betas,
@@ -181,19 +185,8 @@ def run_tempered(
     if mesh is not None:
         from mcqueens.dist import mesh as mesh_mod
 
-        # Every device must own whole VMEM blocks (runner.py sizing rule):
-        # pick the block from one device's share and pad the seed list so
-        # the padded chain count is exactly n_dev * k * block.
-        n_dev = int(mesh.devices.size)
-        per_dev = -(-n_runs // n_dev)
-        block = kmod.block_size(per_dev)
-        per_dev = -(-per_dev // block) * block
-        total = per_dev * n_dev
-        if total > n_runs:
-            pad = seeds[-1] + 1 + np.arange(total - n_runs, dtype=np.uint32)
-            seeds_padded = np.concatenate([seeds, pad])
-        else:
-            seeds_padded = seeds
+        seeds_padded, block = mesh_mod.pad_seeds_to_blocks(
+            seeds, mesh, lambda c: kmod.block_size(c, spec))
         if block % n_levels:
             raise ValueError(
                 f"VMEM block size {block} must be a multiple of the ladder "
@@ -219,13 +212,19 @@ def run_tempered(
         from mcqueens.utils import checkpoint as ckpt_mod
 
         fp = ckpt_mod.spec_fingerprint(spec, seeds)
+        # record_betas changes the checkpoint payload (the beta history
+        # rides in the extras), so it is part of the run identity.
         fp = ckpt_mod.extend_fingerprint(
-            fp, ladder, np.uint32(swap_seed), np.int64(exchange_interval))
+            fp, ladder, np.uint32(swap_seed), np.int64(exchange_interval),
+            np.bool_(record_betas))
+        n_extras = 2 if record_betas else 1
         resumed = checkpointer.restore(carry, seg_outer=exchange_interval,
-                                       fingerprint=fp, n_extras=1)
+                                       fingerprint=fp, n_extras=n_extras)
         if resumed is not None:
             carry, start_round, chunks, extras = resumed
             betas = jnp.asarray(extras[0])
+            if record_betas:
+                betas_hist = [row for row in extras[1]]
             if mesh is not None:
                 carry = mesh_mod.shard_chains(carry, mesh)
                 betas = jax.device_put(betas, mesh_mod.chain_sharding(mesh))
@@ -250,9 +249,13 @@ def run_tempered(
             betas = exchange(betas, carry.energy.reshape(-1),
                              round_key(swap_seed, r), n_levels, r % 2)
         if checkpointer is not None:
+            extras = (np.asarray(betas),)
+            if record_betas:
+                extras += (np.stack(betas_hist) if betas_hist
+                           else np.zeros((0, C), np.float32),)
             checkpointer.save(
                 carry, r + 1, history, seg_outer=exchange_interval,
-                fingerprint=fp, extras=(np.asarray(betas),),
+                fingerprint=fp, extras=extras,
             )
         if verbose and (r + 1) % max(1, n_rounds // 10) == 0:
             e = np.asarray(carry.energy).reshape(-1)[:n_runs]

@@ -84,7 +84,8 @@ class Checkpointer:
         for idx, chunk in enumerate(history_chunks):
             payload[f"hist_{idx}"] = np.asarray(chunk)
         for idx, extra in enumerate(extras):
-            # Caller-defined side state (e.g. tempering's betas + swap key).
+            # Caller-defined side state (e.g. tempering's betas row and,
+            # with record_betas, the accumulated beta history).
             payload[f"extra_{idx}"] = np.asarray(extra)
         fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
         try:

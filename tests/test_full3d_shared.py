@@ -152,3 +152,25 @@ def test_full3d_shared_block_correlation_documented_but_chains_diverge():
     res = _run(spec, n_runs=4)
     boards = {res.final_state[r].tobytes() for r in range(4)}
     assert len(boards) == 4
+
+
+def test_full3d_shared_pad_exactness_guard():
+    """_pads is proven exact only while (3N+24)^4 < 2^33 (N <= 93): the
+    a2*(a2-m) attack products can reach m^2/4 = (3N+24)^4/4, which wraps
+    int32 beyond that and could alias a pad row to a forged attack."""
+    from mcqueens.kernels import full3d_shared
+
+    assert full3d_shared._pads(93) == (101, 202, 303)
+    with pytest.raises(ValueError, match="N <= 93"):
+        full3d_shared._pads(94)
+
+
+def test_shared_kernels_use_distinct_site_salts():
+    """A board run and a full_3d run with equal user seeds share the block
+    re-key formula, so the shared-site streams must differ by salt."""
+    from mcqueens.kernels import board_shared, full3d_shared
+
+    salts = {int(board_shared._SITE_SALT),
+             int(full3d_shared._CAND_SALT),
+             int(full3d_shared._MOVER_SALT)}
+    assert len(salts) == 3

@@ -259,7 +259,8 @@ def test_tempered_checkpoint_resume_bitwise(tmp_path, monkeypatch):
     ladder = tempering.geometric_ladder(0.3, 3.0, 4)
 
     with pltpu.force_tpu_interpret_mode():
-        want = tempering.run_tempered(seeds, spec, ladder, swap_seed=7)
+        want = tempering.run_tempered(seeds, spec, ladder, swap_seed=7,
+                                      record_betas=True)
 
         ckpt = Checkpointer(str(tmp_path), tag="pt")
         real = board_shared.run_segment_tempered
@@ -274,16 +275,24 @@ def test_tempered_checkpoint_resume_bitwise(tmp_path, monkeypatch):
         monkeypatch.setattr(board_shared, "run_segment_tempered", dying)
         with pytest.raises(RuntimeError, match="preemption"):
             tempering.run_tempered(seeds, spec, ladder, swap_seed=7,
-                                   checkpointer=ckpt)
+                                   record_betas=True, checkpointer=ckpt)
         monkeypatch.setattr(board_shared, "run_segment_tempered", real)
         got = tempering.run_tempered(seeds, spec, ladder, swap_seed=7,
-                                     checkpointer=ckpt)
+                                     record_betas=True, checkpointer=ckpt)
+        # A full resume (all rounds already checkpointed) must return the
+        # complete beta history too, not crash or truncate it.
+        again = tempering.run_tempered(seeds, spec, ladder, swap_seed=7,
+                                       record_betas=True, checkpointer=ckpt)
     np.testing.assert_array_equal(want["energy_history"],
                                   got["energy_history"])
     np.testing.assert_array_equal(want["best_energy"], got["best_energy"])
     np.testing.assert_array_equal(want["best_state"], got["best_state"])
     np.testing.assert_array_equal(want["betas"], got["betas"])
     np.testing.assert_array_equal(want["final_state"], got["final_state"])
+    np.testing.assert_array_equal(want["betas_history"],
+                                  got["betas_history"])
+    np.testing.assert_array_equal(want["betas_history"],
+                                  again["betas_history"])
 
     # A fingerprint mismatch (different ladder) must NOT resume.
     other = tempering.geometric_ladder(0.2, 4.0, 4)

@@ -35,37 +35,10 @@ import traceback
 
 import numpy as np
 
-
-def _oracle_board_energy(heights):
-    """O(N^4) pairwise oracle (numpy, host) — mirrors tests/_oracle.py."""
-    heights = np.asarray(heights)
-    N = heights.shape[0]
-    cells = [(i, j, int(heights[i, j])) for i in range(N) for j in range(N)]
-    return _pair_energy(cells)
-
-
-def _oracle_full3d_energy(queens):
-    return _pair_energy([tuple(int(x) for x in q) for q in np.asarray(queens)])
-
-
-def _pair_energy(cells):
-    e = 0
-    for a in range(len(cells)):
-        i1, j1, k1 = cells[a]
-        for b in range(a + 1, len(cells)):
-            i2, j2, k2 = cells[b]
-            di, dj, dk = abs(i1 - i2), abs(j1 - j2), abs(k1 - k2)
-            attack = (
-                (di == 0 and dj == 0)
-                or (di == 0 and dk == 0)
-                or (dj == 0 and dk == 0)
-                or (dk == 0 and di == dj)
-                or (dj == 0 and di == dk)
-                or (di == 0 and dj == dk)
-                or (di == dj == dk)
-            )
-            e += int(attack)
-    return e
+# The same O(N^4) pairwise oracle the CPU suite cross-checks against —
+# one implementation, hardware and interpret runs alike.
+from tests._oracle import board_energy as _oracle_board_energy
+from tests._oracle import full3d_energy as _oracle_full3d_energy
 
 
 def _spec(**kw):
