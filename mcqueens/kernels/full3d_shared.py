@@ -37,7 +37,7 @@ Four design moves, in decreasing order of payoff:
    per-step pass serializes on).  The attack indicator uses the 2-test
    form ``t_a = a2*(a2-m)`` per axis — ``t_a == 0`` iff ``a2`` is 0 or the
    maximum — giving attack = ``(t_p|t_q|t_r) == 0`` and occupancy =
-   ``(p2|q2|r2) == 0`` from the same subexpressions.
+   ``m == 0`` from the same subexpressions.
 4. **Stale-plane algebra.**  The mover's plane row keeps its chunk-start
    value until the chunk-end write-back; (1, C) correction terms (stale
    contribution ``ind(o0, cand)``, stale/live occupancy swap) keep every
@@ -200,9 +200,10 @@ def _kernel(step0_ref, seed_ref, cs_in, *refs,
         r2 = dk * dk
         m = jnp.maximum(p2, jnp.maximum(q2, r2))
         t = (p2 * (p2 - m)) | (q2 * (q2 - m)) | (r2 * (r2 - m))
-        z = p2 | q2 | r2
+        # occupancy: all three squares zero <=> their max is zero (reuses m
+        # instead of a separate p2|q2|r2 reduction).
         return jnp.where(t == 0, 1, 0) + jnp.where(
-            z == 0, jnp.int32(_OCC_BIT), 0)
+            m == 0, jnp.int32(_OCC_BIT), 0)
 
     def chunk_sweep(cands, o0x, o0y, o0z):
         """ONE blocked pass scoring every row against the chunk's targets.
