@@ -31,6 +31,12 @@ def main(argv=None) -> int:
                         help="board (reference competition default) or "
                              "full_3d; the i,j,k export format covers both "
                              "(a full_3d export lists the Q queens)")
+    parser.add_argument("--q", type=int, default=None, metavar="Q",
+                        help="full_3d only: queen count (default N^2).  "
+                             "Sub-N^2 counts search for non-attacking "
+                             "placements at the literature Q_max(N,3) "
+                             "values (reference report Table 1); requires "
+                             "--init-mode random")
     parser.add_argument("--beta-start", type=float, default=1.0)
     parser.add_argument("--beta-end", type=float, default=3.0)
     parser.add_argument("--seed", type=int, default=42)
@@ -67,6 +73,14 @@ def main(argv=None) -> int:
                              "best_heights file (i,j,k lines)")
     args = parser.parse_args(argv)
 
+    if args.q is not None:
+        if args.mcmc_type != "full_3d":
+            parser.error("--q only applies to --mcmc-type full_3d "
+                         "(board mode is always N^2 queens)")
+        if not 1 <= args.q < args.n ** 3:
+            parser.error(f"--q must be in [1, N^3) (N^3={args.n ** 3}; "
+                         "a free cell must exist for the move proposal)")
+
     from mcqueens.core.schedules import build_schedule
     from mcqueens.dist import mesh as mesh_mod
     from mcqueens.dist import runner
@@ -90,7 +104,9 @@ def main(argv=None) -> int:
         # sharing a --checkpoint-dir never clobber (or silently ignore)
         # each other's file; the spec fingerprint inside the checkpoint
         # still guards against anything the tag misses.
-        tag = (f"competition_{args.mcmc_type}_N{args.n}_r{args.n_runs}"
+        tag = (f"competition_{args.mcmc_type}_N{args.n}"
+               + (f"_Q{args.q}" if args.q is not None else "")
+               + f"_r{args.n_runs}"
                f"_st{args.n_steps}_b{args.beta_start:g}-{args.beta_end:g}"
                f"_s{args.seed}_{args.kernel}"
                + (f"_T{args.tempering}" if args.tempering else ""))
@@ -129,7 +145,7 @@ def main(argv=None) -> int:
             schedule=build_schedule("constant", args.n_steps,
                                     beta_const=1.0),
             init_mode=args.init_mode, mcmc_type=args.mcmc_type,
-            history_stride=stride, kernel=args.kernel,
+            history_stride=stride, kernel=args.kernel, Q=args.q,
         )
         ladder = tempering_mod.geometric_ladder(
             args.beta_start, args.beta_end, args.tempering)
@@ -167,7 +183,7 @@ def main(argv=None) -> int:
             N=args.n, n_steps=args.n_steps, schedule=schedule,
             init_mode=args.init_mode, mcmc_type=args.mcmc_type,
             early_stop_patience=args.early_stop_patience,
-            history_stride=stride, kernel=args.kernel,
+            history_stride=stride, kernel=args.kernel, Q=args.q,
         )
         res = runner.run_chains(
             args.seed + np.arange(args.n_runs, dtype=np.uint32), spec,
@@ -181,7 +197,7 @@ def main(argv=None) -> int:
             mcmc_type=args.mcmc_type,
             early_stop_patience=args.early_stop_patience,
             verbose=True, mesh=mesh, history_stride=stride, kernel=args.kernel,
-            checkpointer=checkpointer,
+            checkpointer=checkpointer, Q=args.q,
         )
 
     order = np.argsort(res.best_energy, kind="stable")

@@ -317,6 +317,7 @@ def run_experiment(
     kernel: str = "tables",
     n_bins: int = 100,
     checkpointer=None,
+    Q: Optional[int] = None,
 ) -> ChainResult:
     """Reference-compatible experiment entry point.
 
@@ -349,6 +350,7 @@ def run_experiment(
         history_stride=history_stride,
         kernel=kernel,
         n_bins=n_bins,
+        Q=Q,
     )
     seeds = base_seed + np.arange(n_runs, dtype=np.int64)
     return run_chains(

@@ -173,6 +173,42 @@ def test_competition_cli(tmp_path):
     assert 0 <= int(k) < 5
 
 
+def test_competition_cli_subfull_q(tmp_path):
+    """--q searches for non-attacking placements below N^2 queens.
+
+    Q_max(3,3) = 4 (reference report Table 1): 8 annealed chains must find a
+    zero-energy 4-queen placement in the 3-cube, and the export must list
+    exactly Q valid cells.
+    """
+    import pytest
+
+    from mcqueens.cli import competition
+    from mcqueens.core.energy import full3d_energy
+
+    rc = competition.main([
+        "--n", "3", "--q", "4", "--mcmc-type", "full_3d", "--n-runs", "8",
+        "--n-steps", "3000", "--beta-start", "0.5", "--beta-end", "4.0",
+        "--outdir", str(tmp_path),
+    ])
+    assert rc == 0
+    files = list((tmp_path / "competition_results").glob("*.txt"))
+    assert len(files) == 1
+    rows = [tuple(int(x) for x in line.split(","))
+            for line in files[0].read_text().strip().splitlines()]
+    assert len(rows) == 4
+    assert len(set(rows)) == 4
+    assert all(0 <= c < 3 for row in rows for c in row)
+    import numpy as np
+
+    assert int(full3d_energy(np.asarray(rows, np.int32))) == 0
+
+    with pytest.raises(SystemExit):
+        competition.main(["--n", "3", "--q", "4", "--outdir", str(tmp_path)])
+    with pytest.raises(SystemExit):
+        competition.main(["--n", "3", "--q", "27", "--mcmc-type", "full_3d",
+                          "--outdir", str(tmp_path)])
+
+
 def test_experiments_cli(tmp_path):
     import yaml
 
