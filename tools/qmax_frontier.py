@@ -1,22 +1,30 @@
-"""Hardware campaign: bracket Q_max(12, 3) — past the literature table.
+"""Hardware campaign: bracket Q_max(N, 3) past the literature table.
 
-The reference report's Table 1 stops at N = 10 (Q_max = 91).  For N = 11
-and 13, Klarner's construction (report Thm II.1, gcd(N, 210) = 1) already
-places N^2 mutually non-attacking queens, and N^2 is the ceiling for any N
-with a zero-attack full board.  N = 12 is the first open size: gcd(12, 210)
-= 6, the theorem gives nothing, and this repo's trillion-proposal searches
-put the best *full* 144-queen board at 22 attacking pairs — so
-Q_max(12, 3) < 144, with no published value to compare against.
+The reference report's Table 1 stops at N = 10 (Q_max = 91).  Two queens
+in the same (i,j) column always attack, so Q_max(N, 3) <= N^2 for every N;
+Klarner's construction (report Thm II.1) attains that ceiling whenever
+gcd(N, 210) = 1 (N = 11, 13, 17, 19, ...), closing those sizes.  Every
+other N > 10 is open — no published value exists.  This campaign brackets
+them: anneal the sub-N^2 ``--q`` path at adaptively descending Q until a
+zero-attack placement appears, then walk the bound up to the feasibility
+edge.  Each certified Q is a constructive lower bound (oracle-verified,
+exported); each miss under an escalated budget is evidence (not proof)
+that Q_max sits below it.
 
-This campaign brackets it: anneal the sub-N^2 ``--q`` path at descending Q
-until a zero-attack placement appears.  Each certified Q is a constructive
-lower bound (oracle-verified, exported); each miss under an escalated
-budget is evidence (not proof) that Q sits near the bracket's top.
+CAUTION: plain annealing under-searches the feasibility edge — at N = 14
+and 15 the probe-level "edge" broke under the 5.2e11-proposal tempered
+protocol (:mod:`tools.qmax_push`), which is the authoritative prober.
+Found so far (see ``artifacts/qmax/qmax_frontier_N{N}.json``):
+N=12: certificates at Q = 132, 133; tempered 134 stuck at 3 -> Q_max = 133.
+N=14: tempered certificate at Q = 171; tempered 172 stuck at 2 -> 171.
+N=15: tempered certificates through Q = 163+ (walk ongoing; see JSON).
 
-Run from the repo root on the real TPU: ``python -m tools.qmax_frontier``.
-Evidence artifact: ``artifacts/qmax/qmax_frontier_N12.json``.
+Run from the repo root on the real TPU:
+``python -m tools.qmax_frontier [--n 12] [--start Q0]``.
 """
+import argparse
 import json
+import math
 import os
 
 import numpy as np
@@ -24,13 +32,17 @@ import numpy as np
 from tools.qmax import OUTDIR, search
 from tests._oracle import full3d_energy
 
-N = 12
-# Descend from just under the full board: the Q_max/N^2 ratio trend in
-# Table 1 (0.83 at N=9, 0.91 at N=10) suggests the bound lands in the 130s.
-PROBES = (142, 140, 138, 136, 134, 132, 130, 128, 124, 120)
 
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=12)
+    ap.add_argument("--start", type=int, default=None,
+                    help="first probe Q (default N^2 - 2)")
+    args = ap.parse_args(argv)
+    N = args.n
+    if math.gcd(N, 210) == 1:
+        raise SystemExit(f"N={N} is closed by Klarner: Q_max = N^2 = {N*N}")
 
-def main():
     os.makedirs(OUTDIR, exist_ok=True)
     from mcqueens.utils import cache
     cache.enable()
@@ -55,13 +67,18 @@ def main():
         print(json.dumps({f"Q{Q}": rec}), flush=True)
         return e
 
+    # Adaptive descent: the N=12 misses showed min energy growing ~2 per
+    # excess queen, so a miss at energy e suggests the edge is ~e/2 below.
     best_zero, smallest_miss = None, N * N
-    for Q in PROBES:
-        if probe(Q) == 0:
+    Q = args.start if args.start is not None else N * N - 2
+    while Q >= 1:
+        e = probe(Q)
+        if e == 0:
             best_zero = Q
             break
         smallest_miss = Q
-    if best_zero is not None:  # tighten: walk up to the gap's edge
+        Q -= max(2, e // 2)
+    if best_zero is not None:  # tighten: walk up to the edge
         for Q in range(best_zero + 1, smallest_miss):
             if probe(Q) != 0:
                 break
@@ -69,9 +86,9 @@ def main():
     out["lower_bound"] = best_zero
     with open(os.path.join(OUTDIR, f"qmax_frontier_N{N}.json"), "w") as f:
         json.dump(out, f, indent=1)
-    misses = [int(k[1:]) for k, v in out.items()
-              if k.startswith("Q") and v["min_energy"] > 0]
-    print(f"FINAL Q_max({N},3) >= {best_zero}; misses at {sorted(misses)}")
+    misses = sorted(int(k[1:]) for k, v in out.items()
+                    if k.startswith("Q") and v["min_energy"] > 0)
+    print(f"FINAL Q_max({N},3) >= {best_zero}; misses at {misses}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,91 @@
+"""Hardware campaign: walk a Q_max(N, 3) lower bound up with tempered pushes.
+
+The adaptive annealing probes in :mod:`tools.qmax_frontier` under-search
+near the feasibility edge: at N = 14 the plain 3.9e10-proposal probe left
+Q = 171 at 1 attack, but a 5.2e11-proposal 16-level tempering push (the
+floor-search protocol: 65536 chains x 8M steps, beta ladder 0.8->9,
+exchange every 62.5k steps) finds a zero-attack certificate — and likewise
+Q = 161 at N = 15.  So the edge must be walked up under the tempered
+protocol itself: this tool pushes Q upward from the current bound until a
+push misses, archiving each certificate (oracle-verified) and recording
+the outcome in ``artifacts/qmax/qmax_frontier_N{N}.json``.
+
+Run from the repo root on the real TPU:
+``python -m tools.qmax_push --n 14 --start 172``.
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from mcqueens.chain.spec import ChainSpec
+from mcqueens.core.schedules import build_schedule
+from mcqueens.search import tempering as tempering_mod
+from mcqueens.utils import cache
+from tools.qmax import OUTDIR
+from tests._oracle import full3d_energy
+
+CHAINS = 65536
+N_STEPS = 8_000_000
+STRIDE = 62_500
+LADDER_L = 16
+BETAS = (0.8, 9.0)
+
+
+def push(N, Q, seed=31337):
+    spec = ChainSpec(
+        N=N, n_steps=N_STEPS,
+        schedule=build_schedule("constant", N_STEPS, beta_const=1.0),
+        init_mode="random", mcmc_type="full_3d", kernel="pallas_shared",
+        history_stride=STRIDE, Q=Q,
+    )
+    ladder = tempering_mod.geometric_ladder(*BETAS, LADDER_L)
+    t0 = time.time()
+    out = tempering_mod.run_tempered(
+        seed + np.arange(CHAINS, dtype=np.uint32), spec, ladder,
+        swap_seed=seed, verbose=True,
+    )
+    r = int(np.argmin(out["best_energy"]))
+    e = int(out["best_energy"][r])
+    best = np.asarray(out["best_state"][r], np.int64)
+    assert e == full3d_energy(best), (N, Q, e)
+    return e, best, time.time() - t0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, required=True)
+    ap.add_argument("--start", type=int, required=True)
+    ap.add_argument("--seed", type=int, default=31337)
+    args = ap.parse_args(argv)
+    N = args.n
+    cache.enable()
+
+    path = os.path.join(OUTDIR, f"qmax_frontier_N{N}.json")
+    out = json.load(open(path)) if os.path.exists(path) else {}
+    Q = args.start
+    while Q < N * N:
+        e, best, wall = push(N, Q, args.seed)
+        rec = {"min_energy": e, "proposals": CHAINS * N_STEPS,
+               "wall_s": round(wall, 1), "protocol": "tempered_push"}
+        out[f"Q{Q}_push"] = rec
+        if e == 0:
+            bpath = os.path.join(OUTDIR, f"qmax_N{N}_Q{Q}.txt")
+            with open(bpath, "w") as f:
+                for i, j, k in best.tolist():
+                    f.write(f"{i},{j},{k}\n")
+            rec["board"] = os.path.basename(bpath)
+            out["lower_bound"] = max(out.get("lower_bound") or 0, Q)
+        print(json.dumps({f"Q{Q}_push": rec}), flush=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        if e > 0:
+            break
+        Q += 1
+    print(f"FINAL Q_max({N},3) >= {out.get('lower_bound')}")
+
+
+if __name__ == "__main__":
+    main()
