@@ -16,8 +16,9 @@ and 15 the probe-level "edge" broke under the 5.2e11-proposal tempered
 protocol (:mod:`tools.qmax_push`), which is the authoritative prober.
 Found so far (see ``artifacts/qmax/qmax_frontier_N{N}.json``):
 N=12: certificates at Q = 132, 133; tempered 134 stuck at 3 -> Q_max = 133.
-N=14: tempered certificate at Q = 171; tempered 172 stuck at 2 -> 171.
-N=15: tempered certificates through Q = 163+ (walk ongoing; see JSON).
+N=14: certificates to Q = 171; 172 at 1-2 attacks under 2 tempered seeds.
+N=15: certificates to Q = 178 (the walk broke 18 consecutive "edges");
+      179 at 1 attack under one tempered seed — may yet break.
 
 Run from the repo root on the real TPU:
 ``python -m tools.qmax_frontier [--n 12] [--start Q0]``.

@@ -69,8 +69,12 @@ def main(argv=None):
     while Q < N * N:
         e, best, wall = push(N, Q, args.seed)
         rec = {"min_energy": e, "proposals": CHAINS * N_STEPS,
-               "wall_s": round(wall, 1), "protocol": "tempered_push"}
-        out[f"Q{Q}_push"] = rec
+               "wall_s": round(wall, 1), "protocol": "tempered_push",
+               "seed": args.seed}
+        key = f"Q{Q}_push"
+        if key in out and out[key].get("seed", 31337) != args.seed:
+            key = f"Q{Q}_push_s{args.seed}"  # keep multi-seed evidence
+        out[key] = rec
         if e == 0:
             bpath = os.path.join(OUTDIR, f"qmax_N{N}_Q{Q}.txt")
             with open(bpath, "w") as f:
