@@ -12,6 +12,13 @@ the outcome in ``artifacts/qmax/qmax_frontier_N{N}.json``.
 
 Run from the repo root on the real TPU:
 ``python -m tools.qmax_push --n 14 --start 172``.
+
+``--warm-start`` escalates further: every chain starts from the archived
+Q-1 certificate plus one extra queen dropped on a per-chain random empty
+cell — the search then only has to relax a 1-attack near-miss instead of
+assembling the whole placement, while the hot end of the ladder (beta 0.8)
+still scrambles far from the start.  Recorded as protocol
+``tempered_push_warm`` so the evidence tiers stay distinguishable.
 """
 import argparse
 import json
@@ -34,7 +41,28 @@ LADDER_L = 16
 BETAS = (0.8, 9.0)
 
 
-def push(N, Q, seed=31337):
+def load_certificate(N, Q):
+    """Archived zero-attack placement ``qmax_N{N}_Q{Q}.txt`` -> (Q, 3)."""
+    path = os.path.join(OUTDIR, f"qmax_N{N}_Q{Q}.txt")
+    rows = [tuple(map(int, line.split(","))) for line in open(path)]
+    arr = np.asarray(rows, np.int32)
+    assert arr.shape == (Q, 3) and full3d_energy(arr.astype(np.int64)) == 0
+    return arr
+
+
+def warm_states(N, Q, chains, seed):
+    """(chains, Q, 3) starts: the Q-1 certificate + one random empty cell."""
+    base = load_certificate(N, Q - 1)
+    occ = set(map(tuple, base.tolist()))
+    empty = np.asarray(
+        [c for c in np.ndindex(N, N, N) if c not in occ], np.int32)
+    rng = np.random.default_rng(seed)
+    extra = empty[rng.integers(0, len(empty), size=chains)]
+    states = np.repeat(base[None], chains, axis=0)
+    return np.concatenate([states, extra[:, None, :]], axis=1)
+
+
+def push(N, Q, seed=31337, warm=False):
     spec = ChainSpec(
         N=N, n_steps=N_STEPS,
         schedule=build_schedule("constant", N_STEPS, beta_const=1.0),
@@ -42,10 +70,11 @@ def push(N, Q, seed=31337):
         history_stride=STRIDE, Q=Q,
     )
     ladder = tempering_mod.geometric_ladder(*BETAS, LADDER_L)
+    init = warm_states(N, Q, CHAINS, seed) if warm else None
     t0 = time.time()
     out = tempering_mod.run_tempered(
         seed + np.arange(CHAINS, dtype=np.uint32), spec, ladder,
-        swap_seed=seed, verbose=True,
+        swap_seed=seed, verbose=True, initial_states=init,
     )
     r = int(np.argmin(out["best_energy"]))
     e = int(out["best_energy"][r])
@@ -59,21 +88,26 @@ def main(argv=None):
     ap.add_argument("--n", type=int, required=True)
     ap.add_argument("--start", type=int, required=True)
     ap.add_argument("--seed", type=int, default=31337)
+    ap.add_argument("--warm-start", action="store_true",
+                    help="start every chain from the archived Q-1 "
+                         "certificate plus one random extra queen")
     args = ap.parse_args(argv)
     N = args.n
     cache.enable()
 
+    protocol = "tempered_push_warm" if args.warm_start else "tempered_push"
     path = os.path.join(OUTDIR, f"qmax_frontier_N{N}.json")
     out = json.load(open(path)) if os.path.exists(path) else {}
     Q = args.start
     while Q < N * N:
-        e, best, wall = push(N, Q, args.seed)
+        e, best, wall = push(N, Q, args.seed, warm=args.warm_start)
         rec = {"min_energy": e, "proposals": CHAINS * N_STEPS,
-               "wall_s": round(wall, 1), "protocol": "tempered_push",
+               "wall_s": round(wall, 1), "protocol": protocol,
                "seed": args.seed}
-        key = f"Q{Q}_push"
-        if key in out and out[key].get("seed", 31337) != args.seed:
-            key = f"Q{Q}_push_s{args.seed}"  # keep multi-seed evidence
+        key = f"Q{Q}_push_warm" if args.warm_start else f"Q{Q}_push"
+        if key in out and (out[key].get("seed", 31337) != args.seed
+                           or out[key].get("protocol") != protocol):
+            key = f"{key}_s{args.seed}"  # keep multi-seed evidence
         out[key] = rec
         if e == 0:
             bpath = os.path.join(OUTDIR, f"qmax_N{N}_Q{Q}.txt")
