@@ -125,6 +125,7 @@ def run_tempered(
     exchange_interval: int = 1,
     mesh=None,
     checkpointer=None,
+    stop_at_energy=None,
 ):
     """Run parallel-tempered chains with periodic replica exchange.
 
@@ -152,6 +153,12 @@ def run_tempered(
             sweep is shard-local — ladder groups never straddle shards
             because the per-shard chain count is a multiple of the block
             size, which must be a multiple of ``len(ladder)``.
+        stop_at_energy: optional early-stop target — end the search after
+            the first round whose global best energy is <= this value
+            (certificate searches pass 0: once a zero-attack placement is
+            banked in ``best_state`` the remaining rounds cannot improve
+            it).  Costs one 4-byte-per-chain device pull per round; rounds
+            already run are bit-identical to a run without the flag.
         checkpointer: optional :class:`mcqueens.utils.checkpoint.Checkpointer`
             — saves (carry, betas) after each round (at the checkpointer's
             ``every`` cadence) and resumes a killed search bit-identically;
@@ -262,6 +269,13 @@ def run_tempered(
             be = np.asarray(carry.best_energy).reshape(-1)[:n_runs]
             print(f"[tempering] round {r + 1}/{n_rounds}: "
                   f"mean E={e.mean():.2f} best={be.min()}")
+        if stop_at_energy is not None:
+            be = np.asarray(carry.best_energy).reshape(-1)[:n_runs]
+            if be.min() <= stop_at_energy:
+                if verbose:
+                    print(f"[tempering] early stop at round {r + 1}/"
+                          f"{n_rounds}: best={be.min()}")
+                break
     best_energy = np.asarray(carry.best_energy).reshape(-1)
     wall = time.time() - t0
 

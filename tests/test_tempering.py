@@ -126,6 +126,40 @@ def test_tempered_run_deterministic():
     np.testing.assert_array_equal(a["final_state"], b["final_state"])
 
 
+def test_tempered_early_stop():
+    """stop_at_energy truncates the round loop without perturbing it.
+
+    A trivially satisfied target stops after round 1 with a bit-identical
+    prefix of the unstopped history; an unreachable target (-1) leaves the
+    run bitwise unchanged vs no flag at all.
+    """
+    spec = _spec(n_steps=300, history_stride=50)
+    ladder = tempering.geometric_ladder(0.3, 3.0, 3)
+    seeds = np.arange(6, dtype=np.uint32)
+    with pltpu.force_tpu_interpret_mode():
+        full = tempering.run_tempered(seeds, spec, ladder, swap_seed=5)
+        stopped = tempering.run_tempered(
+            seeds, spec, ladder, swap_seed=5, stop_at_energy=10**9)
+        never = tempering.run_tempered(
+            seeds, spec, ladder, swap_seed=5, stop_at_energy=-1)
+    # Stopped after round 1: initial energies + one history point.
+    assert stopped["energy_history"].shape == (6, 2)
+    np.testing.assert_array_equal(stopped["energy_history"],
+                                  full["energy_history"][:, :2])
+    # One round of work out of six (counts padded block chains, so compare
+    # against the full run rather than the logical chain count).
+    assert stopped["proposals"] * 6 == full["proposals"]
+    assert stopped["best_energy"].min() <= 10**9
+    for r in range(6):
+        assert stopped["best_energy"][r] == _oracle.board_energy(
+            stopped["best_state"][r])
+    # Unreachable target: bitwise identical to the plain run.
+    np.testing.assert_array_equal(never["energy_history"],
+                                  full["energy_history"])
+    np.testing.assert_array_equal(never["final_state"], full["final_state"])
+    np.testing.assert_array_equal(never["betas"], full["betas"])
+
+
 def test_tempered_rejects_other_kernels():
     spec = _spec(kernel="tables")
     with pytest.raises(ValueError, match="pallas_shared"):

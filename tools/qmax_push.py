@@ -75,12 +75,13 @@ def push(N, Q, seed=31337, warm=False):
     out = tempering_mod.run_tempered(
         seed + np.arange(CHAINS, dtype=np.uint32), spec, ladder,
         swap_seed=seed, verbose=True, initial_states=init,
+        stop_at_energy=0,
     )
     r = int(np.argmin(out["best_energy"]))
     e = int(out["best_energy"][r])
     best = np.asarray(out["best_state"][r], np.int64)
     assert e == full3d_energy(best), (N, Q, e)
-    return e, best, time.time() - t0
+    return e, best, time.time() - t0, out["proposals"]
 
 
 def main(argv=None):
@@ -100,8 +101,8 @@ def main(argv=None):
     out = json.load(open(path)) if os.path.exists(path) else {}
     Q = args.start
     while Q < N * N:
-        e, best, wall = push(N, Q, args.seed, warm=args.warm_start)
-        rec = {"min_energy": e, "proposals": CHAINS * N_STEPS,
+        e, best, wall, proposals = push(N, Q, args.seed, warm=args.warm_start)
+        rec = {"min_energy": e, "proposals": proposals,
                "wall_s": round(wall, 1), "protocol": protocol,
                "seed": args.seed}
         key = f"Q{Q}_push_warm" if args.warm_start else f"Q{Q}_push"
