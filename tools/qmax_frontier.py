@@ -13,12 +13,15 @@ that Q_max sits below it.
 
 CAUTION: plain annealing under-searches the feasibility edge — at N = 14
 and 15 the probe-level "edge" broke under the 5.2e11-proposal tempered
-protocol (:mod:`tools.qmax_push`), which is the authoritative prober.
+protocol (:mod:`tools.qmax_push`), and the cold tempered edge broke again
+under its ``--warm-start`` tier (chains start from the Q-1 certificate
+plus one random queen).  The warm-start push is the authoritative prober.
 Found so far (see ``artifacts/qmax/qmax_frontier_N{N}.json``):
-N=12: certificates at Q = 132, 133; tempered 134 stuck at 3 -> Q_max = 133.
-N=14: certificates to Q = 171; 172 at 1-2 attacks under 2 tempered seeds.
-N=15: certificates to Q = 178 (the walk broke 18 consecutive "edges");
-      179 at 1 attack under one tempered seed — may yet break.
+N=12: certificates at Q = 132, 133; 134 stuck at 3 -> Q_max = 133.
+N=14: certificates to Q = 172 (two cold seeds missed it; warm start broke
+      it); warm 173 at 1 attack.
+N=15: certificates to Q = 182 (the cold walk broke 18 consecutive
+      "edges" to 178, warm starts relaxed 179..182); warm 183 at 1.
 
 Run from the repo root on the real TPU:
 ``python -m tools.qmax_frontier [--n 12] [--start Q0]``.
