@@ -1,0 +1,92 @@
+"""One-command Q_max(N, 3) campaign: descent probes, then the warm walk.
+
+Chains the two hardware tools that bracketed N = 12/14/15/16
+(``artifacts/RESULTS.md``) into the exact protocol that proved strongest:
+
+  1. :mod:`tools.qmax_frontier` — adaptive descending annealing probes to a
+     first zero-attack certificate, then a probe-level walk up to the
+     apparent edge (writes ``lower_bound`` into
+     ``artifacts/qmax/qmax_frontier_N{N}.json``).
+  2. :mod:`tools.qmax_push` ``--warm-start`` — the authoritative prober:
+     5.2e11-proposal 16-level tempered pushes where every chain starts from
+     the archived Q-1 certificate plus one random extra queen, walking the
+     bound up until a full-budget miss.
+  3. Optionally (``--confirm-seed``), re-attack the final warm miss with an
+     independent seed: at N = 14..16 a single full-budget warm miss was the
+     edge evidence, and a second seed either breaks it (the walk resumes) or
+     upgrades it to two-seed evidence.
+
+The reference publishes nothing past N = 10 (report Table 1 via Kunt,
+``/root/reference/report``); sizes with gcd(N, 210) = 1 are closed at N² by
+Klarner's construction, so the open sizes are N = 12, 14, 15, 16, 18, 20, …
+
+Run from the repo root on the real TPU (hours per size; certificates and
+evidence are flushed to ``artifacts/qmax/`` after every probe/push, so a
+killed campaign loses nothing banked):
+
+    python -m tools.qmax_campaign --n 20 [--confirm-seed 4242]
+"""
+
+import argparse
+import json
+import math
+import os
+
+from tools import qmax_frontier, qmax_push
+from tools.qmax import OUTDIR
+
+
+def _frontier_path(N: int) -> str:
+    return os.path.join(OUTDIR, f"qmax_frontier_N{N}.json")
+
+
+def _load(N: int) -> dict:
+    with open(_frontier_path(N)) as f:
+        return json.load(f)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, required=True)
+    ap.add_argument("--seed", type=int, default=31337,
+                    help="seed for the warm-start walk")
+    ap.add_argument("--confirm-seed", type=int, default=None,
+                    help="re-attack the final warm miss with this second "
+                         "seed; if it breaks, resume the walk from there")
+    ap.add_argument("--skip-probes", action="store_true",
+                    help="reuse an existing frontier JSON's lower_bound "
+                         "instead of re-running the descent probes")
+    args = ap.parse_args(argv)
+    N = args.n
+    if math.gcd(N, 210) == 1:
+        raise SystemExit(f"N={N} is closed by Klarner: Q_max = N^2 = {N*N}")
+
+    if not args.skip_probes:
+        qmax_frontier.main(["--n", str(N)])
+    bound = _load(N)["lower_bound"]
+    if bound is None:
+        raise SystemExit(f"descent probes found no certificate for N={N}")
+
+    # Warm walk from one past the certified bound until a full-budget miss.
+    qmax_push.main(["--n", str(N), "--start", str(bound + 1),
+                    "--seed", str(args.seed), "--warm-start"])
+    bound = _load(N)["lower_bound"]
+
+    while args.confirm_seed is not None:
+        qmax_push.main(["--n", str(N), "--start", str(bound + 1),
+                        "--seed", str(args.confirm_seed), "--warm-start"])
+        new_bound = _load(N)["lower_bound"]
+        if new_bound == bound:
+            break  # the miss held under the second seed: two-seed evidence
+        # The second seed broke the edge — continue the primary walk.
+        bound = new_bound
+        qmax_push.main(["--n", str(N), "--start", str(bound + 1),
+                        "--seed", str(args.seed), "--warm-start"])
+        bound = _load(N)["lower_bound"]
+
+    print(f"CAMPAIGN DONE: Q_max({N},3) >= {bound} "
+          f"(evidence in {_frontier_path(N)})")
+
+
+if __name__ == "__main__":
+    main()
