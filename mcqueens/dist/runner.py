@@ -33,6 +33,36 @@ from mcqueens.dist import mesh as mesh_mod
 # at 1k chains); segments get smaller as chains/history grow.
 _MAX_SEGMENT_ELEMS = 64 * 1024 * 1024
 
+# Cap on proposed moves per dispatched segment.  Long single XLA executions
+# are crash-prone on this host's TPU tunnel: an N=18 full_3d run (4096
+# chains, 2^21+ steps) twice died mid-execution with "TPU worker process
+# crashed or restarted" when dispatched as one execution, yet completed
+# split into short dispatches — and the same shapes then measured at full
+# model speed (artifacts/probe_full3d_cap.json), ruling out a kernel fault.
+# 2^31 proposals is a few seconds of flagship-kernel work per dispatch
+# (sync overhead <~3%) and well inside the empirically safe envelope.
+_MAX_SEGMENT_PROPOSALS = 2 ** 31
+
+
+def plan_segments(n_outer: int, n_padded: int, history_stride: int,
+                  min_segments: int = 1) -> tuple[int, int]:
+    """Split ``n_outer`` history chunks into host-visible segments.
+
+    Returns ``(n_segs, seg_outer)`` with ``n_segs * seg_outer >= n_outer``,
+    bounding both the on-device history footprint per segment
+    (:data:`_MAX_SEGMENT_ELEMS`) and the single-dispatch execution length
+    (:data:`_MAX_SEGMENT_PROPOSALS`) — the latter keeps long runs streaming
+    as many short executions instead of one watchdog-tripping one.
+    """
+    elems_cap = max(1, _MAX_SEGMENT_ELEMS // max(1, n_padded))
+    work_cap = max(
+        1, _MAX_SEGMENT_PROPOSALS // max(1, n_padded * history_stride))
+    max_outer_per_seg = min(elems_cap, work_cap)
+    n_segs = max(min_segments, -(-n_outer // max_outer_per_seg), 1)
+    n_segs = min(n_segs, n_outer) or 1
+    seg_outer = -(-n_outer // n_segs)
+    return n_segs, seg_outer
+
 
 @dataclasses.dataclass
 class ChainResult:
@@ -179,10 +209,8 @@ def run_chains(
         min_segments = max(min_segments, 10)
     if checkpointer is not None:
         min_segments = max(min_segments, checkpointer.min_segments)
-    max_outer_per_seg = max(1, _MAX_SEGMENT_ELEMS // max(1, n_padded))
-    n_segs = max(min_segments, -(-n_outer // max_outer_per_seg), 1)
-    n_segs = min(n_segs, n_outer) or 1
-    seg_outer = -(-n_outer // n_segs)
+    n_segs, seg_outer = plan_segments(
+        n_outer, n_padded, spec.history_stride, min_segments)
 
     t0 = time.time()
     profiler_cm = (

@@ -28,6 +28,34 @@ def test_eight_virtual_devices_present():
     assert jax.device_count() == 8
 
 
+def test_plan_segments_caps_dispatch_work():
+    # The config that reproducibly killed the TPU worker as one execution
+    # (N=18 full_3d: 4096 chains, 2^21 steps, stride 2^15) must now split so
+    # no dispatch exceeds _MAX_SEGMENT_PROPOSALS proposed moves.
+    n_padded, stride, n_outer = 4096, 1 << 15, 64
+    n_segs, seg_outer = runner.plan_segments(n_outer, n_padded, stride)
+    assert n_segs > 1
+    assert n_segs * seg_outer >= n_outer
+    assert n_padded * stride * seg_outer <= runner._MAX_SEGMENT_PROPOSALS
+
+    # Small runs stay a single dispatch.
+    assert runner.plan_segments(64, 1024, 100) == (1, 64)
+
+    # min_segments is still honored.
+    n_segs, seg_outer = runner.plan_segments(64, 1024, 100, min_segments=10)
+    assert n_segs >= 10 and n_segs * seg_outer >= 64
+
+    # The history-footprint cap still applies (many chains, stride 1).
+    n_segs, seg_outer = runner.plan_segments(
+        1 << 20, 1 << 12, 1, min_segments=1)
+    assert seg_outer * (1 << 12) <= runner._MAX_SEGMENT_ELEMS
+
+    # A single outer chunk larger than the work cap degrades to
+    # one-chunk segments (history granularity bounds the split).
+    n_segs, seg_outer = runner.plan_segments(4, 1 << 16, 1 << 20)
+    assert seg_outer == 1 and n_segs == 4
+
+
 def test_sharded_run_bitwise_equals_unsharded():
     """Chain streams are keyed by global chain id, so results must be
     independent of the device layout (1 device vs 8-device mesh)."""
