@@ -56,6 +56,21 @@ def test_plan_segments_caps_dispatch_work():
     assert seg_outer == 1 and n_segs == 4
 
 
+def test_work_cap_split_is_bitwise_invariant(monkeypatch):
+    # Forcing the dispatch-work cap to split a run must not change any
+    # result (counter-based streams make segmentation a pure host concern).
+    spec = _spec(n_steps=800, history_stride=100, kernel="tables")
+    seeds = np.arange(6, dtype=np.uint32)
+    plain = runner.run_chains(seeds, spec)
+    monkeypatch.setattr(runner, "_MAX_SEGMENT_PROPOSALS", 6 * 100 * 2)
+    split = runner.run_chains(seeds, spec)
+    assert runner.plan_segments(spec.n_outer, 6, 100)[0] > 1
+    np.testing.assert_array_equal(plain.energy_history, split.energy_history)
+    np.testing.assert_array_equal(plain.final_state, split.final_state)
+    np.testing.assert_array_equal(plain.best_state, split.best_state)
+    np.testing.assert_array_equal(plain.accept_bins, split.accept_bins)
+
+
 def test_sharded_run_bitwise_equals_unsharded():
     """Chain streams are keyed by global chain id, so results must be
     independent of the device layout (1 device vs 8-device mesh)."""
