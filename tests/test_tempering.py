@@ -22,6 +22,17 @@ from mcqueens.search import tempering
 from tests import _oracle
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_executable_space():
+    # This module runs last in the suite, when the process already holds
+    # ~500 live compiled executables; at that pressure the XLA:CPU compiler
+    # reproducibly segfaulted compiling test_tempered_full3d_invariants'
+    # interpret-mode program (it compiles fine in isolation or after a
+    # clear).  Dropping live executables is cheap here: the persistent
+    # compile cache makes re-loads fast.
+    jax.clear_caches()
+
+
 def _spec(**kw):
     defaults = dict(
         N=5,

@@ -22,6 +22,10 @@ N=14: certificates to Q = 172 (two cold seeds missed it; warm start broke
       it); warm 173 at 1 attack.
 N=15: certificates to Q = 182 (the cold walk broke 18 consecutive
       "edges" to 178, warm starts relaxed 179..182); warm 183 at 1.
+N=16: certificates to Q = 179 (probes to 175, warm walk 176..179);
+      warm 180 at 1 attack.
+N=18: certificates to Q = 226 (probes to 222, warm walk 223..226);
+      warm 227 at 1 attack under TWO independent full-budget seeds.
 
 Run from the repo root on the real TPU:
 ``python -m tools.qmax_frontier [--n 12] [--start Q0]``.
