@@ -1,0 +1,135 @@
+"""Unit tests for the Q_max campaign tooling's pure logic.
+
+The hardware campaigns (`tools/qmax*.py`) produced the frontier table in
+``artifacts/RESULTS.md``; these tests lock the host-side protocol — the
+descent/walk/confirm orchestration and the warm-start construction — with
+the TPU search calls faked out, so a refactor cannot silently change what
+the evidence means.
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from tools import qmax_campaign, qmax_push
+
+
+def test_campaign_rejects_klarner_closed_sizes():
+    for n in (11, 13, 17, 19):
+        assert math.gcd(n, 210) == 1
+        with pytest.raises(SystemExit):
+            qmax_campaign.main(["--n", str(n)])
+
+
+def _wire(tmp_path, monkeypatch, edge_by_seed):
+    """Fake the two hardware tools around a shared frontier JSON.
+
+    ``edge_by_seed[seed]`` = highest Q that seed's warm push can certify;
+    pushes walk up from --start and record a miss one past their edge,
+    exactly like ``tools.qmax_push.main``.
+    """
+    outdir = str(tmp_path)
+    monkeypatch.setattr(qmax_campaign, "OUTDIR", outdir)
+    calls = []
+
+    def path(n):
+        return os.path.join(outdir, f"qmax_frontier_N{n}.json")
+
+    def fake_frontier(argv):
+        n = int(argv[argv.index("--n") + 1])
+        calls.append(("frontier", n))
+        with open(path(n), "w") as f:
+            json.dump({"lower_bound": 10}, f)
+
+    def fake_push(argv):
+        n = int(argv[argv.index("--n") + 1])
+        start = int(argv[argv.index("--start") + 1])
+        seed = int(argv[argv.index("--seed") + 1])
+        assert "--warm-start" in argv
+        calls.append(("push", start, seed))
+        out = json.load(open(path(n)))
+        q = start
+        while q <= edge_by_seed[seed]:
+            out["lower_bound"] = max(out.get("lower_bound") or 0, q)
+            q += 1
+        with open(path(n), "w") as f:
+            json.dump(out, f)
+
+    monkeypatch.setattr(qmax_campaign.qmax_frontier, "main", fake_frontier)
+    monkeypatch.setattr(qmax_campaign.qmax_push, "main", fake_push)
+    return calls, path
+
+
+def test_campaign_walk_and_two_seed_confirmation(tmp_path, monkeypatch):
+    # Primary seed certifies through 12; the confirm seed breaks the miss
+    # at 13 once (certifies 13), after which the primary walk resumes and
+    # misses at 14, and the confirm seed then agrees (miss held).
+    calls, path = _wire(tmp_path, monkeypatch,
+                        edge_by_seed={31337: 12, 4242: 13})
+    qmax_campaign.main(["--n", "12", "--seed", "31337",
+                        "--confirm-seed", "4242"])
+    assert calls == [
+        ("frontier", 12),
+        ("push", 11, 31337),   # walk from probes' bound+1 -> certifies 12
+        ("push", 13, 4242),    # confirm attacks the miss -> breaks it (13)
+        ("push", 14, 31337),   # primary walk resumes -> misses at 14
+        ("push", 14, 4242),    # confirm re-attacks -> miss holds: done
+    ]
+    assert json.load(open(path(12)))["lower_bound"] == 13
+
+
+def test_campaign_without_confirm_stops_at_first_miss(tmp_path, monkeypatch):
+    calls, path = _wire(tmp_path, monkeypatch, edge_by_seed={31337: 12})
+    qmax_campaign.main(["--n", "12", "--seed", "31337"])
+    assert calls == [("frontier", 12), ("push", 11, 31337)]
+    assert json.load(open(path(12)))["lower_bound"] == 12
+
+
+def test_campaign_skip_probes_reuses_bound(tmp_path, monkeypatch):
+    calls, path = _wire(tmp_path, monkeypatch, edge_by_seed={31337: 12})
+    with open(path(12), "w") as f:
+        json.dump({"lower_bound": 11}, f)
+    qmax_campaign.main(["--n", "12", "--skip-probes"])
+    assert calls == [("push", 12, 31337)]
+
+
+def test_campaign_errors_when_probes_find_nothing(tmp_path, monkeypatch):
+    calls, path = _wire(tmp_path, monkeypatch, edge_by_seed={})
+
+    def no_cert(argv):
+        n = int(argv[argv.index("--n") + 1])
+        with open(path(n), "w") as f:
+            json.dump({"lower_bound": None}, f)
+
+    monkeypatch.setattr(qmax_campaign.qmax_frontier, "main", no_cert)
+    with pytest.raises(SystemExit):
+        qmax_campaign.main(["--n", "12"])
+
+
+def test_warm_states_structure(tmp_path, monkeypatch):
+    # Warm starts = the archived Q-1 certificate plus ONE extra queen on a
+    # per-chain random EMPTY cell: every chain's cells stay distinct and
+    # the first Q-1 rows are the certificate itself.
+    N, Q = 4, 8
+    rng = np.random.default_rng(3)
+    cells = rng.choice(N ** 3, size=Q - 1, replace=False)
+    base = np.stack([cells // (N * N), (cells // N) % N, cells % N],
+                    axis=-1).astype(np.int32)
+    # zero-attack not required for the structural test, but the loader
+    # asserts it -- so write a file and monkeypatch the oracle check away.
+    monkeypatch.setattr(qmax_push, "OUTDIR", str(tmp_path))
+    with open(os.path.join(str(tmp_path), f"qmax_N{N}_Q{Q-1}.txt"), "w") as f:
+        for i, j, k in base.tolist():
+            f.write(f"{i},{j},{k}\n")
+    monkeypatch.setattr(qmax_push, "full3d_energy", lambda a: 0)
+    states = qmax_push.warm_states(N, Q, chains=32, seed=5)
+    assert states.shape == (32, Q, 3)
+    occ = set(map(tuple, base.tolist()))
+    for r in range(32):
+        rows = [tuple(q) for q in states[r].tolist()]
+        assert rows[:Q - 1] == [tuple(q) for q in base.tolist()]
+        assert len(set(rows)) == Q          # extra cell was empty
+        assert tuple(states[r, -1]) not in occ
