@@ -14,7 +14,7 @@ import os
 import numpy as np
 import pytest
 
-from tools import qmax_campaign, qmax_push
+from tools import qmax_campaign, qmax_frontier, qmax_push
 
 
 def test_campaign_rejects_klarner_closed_sizes():
@@ -107,6 +107,62 @@ def test_campaign_errors_when_probes_find_nothing(tmp_path, monkeypatch):
     monkeypatch.setattr(qmax_campaign.qmax_frontier, "main", no_cert)
     with pytest.raises(SystemExit):
         qmax_campaign.main(["--n", "12"])
+
+
+class _FakeClock:
+    """time.time() stand-in advancing a fixed step per call."""
+
+    def __init__(self, step):
+        self.now, self.step = 0.0, step
+
+    def time(self):
+        t = self.now
+        self.now += self.step
+        return t
+
+
+def _wire_frontier(tmp_path, monkeypatch, energy_by_q, clock_step=0.0):
+    """Fake the TPU search under qmax_frontier's real orchestration."""
+    monkeypatch.setattr(qmax_frontier, "OUTDIR", str(tmp_path))
+    monkeypatch.setattr(qmax_frontier, "full3d_energy", lambda a: 0)
+    monkeypatch.setattr(qmax_frontier, "time", _FakeClock(clock_step))
+    probed = []
+
+    def fake_search(N, Q, n_steps, beta_end, seed=0):
+        probed.append(Q)
+        board = np.zeros((Q, 3), np.int32)
+        return energy_by_q[Q], board, 1.0, 4096 * n_steps
+
+    monkeypatch.setattr(qmax_frontier, "search", fake_search)
+    return probed
+
+
+def test_frontier_budget_stops_walk_and_flushes(tmp_path, monkeypatch):
+    # Certificates exist up to Q=13; each probe advances the fake clock by
+    # ~30s (two time() calls per budget check + probes), so --budget-s 100
+    # stops the walk before it can reach the Q=14 miss.
+    energy = {10: 0, 11: 0, 12: 0, 13: 0, 14: 4}
+    probed = _wire_frontier(tmp_path, monkeypatch, energy, clock_step=30.0)
+    qmax_frontier.main(["--n", "12", "--start", "10", "--budget-s", "100"])
+    out = json.load(open(os.path.join(str(tmp_path),
+                                      "qmax_frontier_N12.json")))
+    assert out["complete"] is False
+    assert out["lower_bound"] == max(q for q in probed if energy[q] == 0)
+    assert 14 not in probed  # the edge probe never started
+    for q in probed:  # every probe was banked before the stop
+        assert f"Q{q}" in out
+
+
+def test_frontier_unbudgeted_walks_to_the_edge(tmp_path, monkeypatch):
+    energy = {10: 4, 8: 0, 9: 0}  # descent 10 -> miss e=4 -> 8, walk up to 9
+    probed = _wire_frontier(tmp_path, monkeypatch, energy)
+    qmax_frontier.main(["--n", "12", "--start", "10"])
+    out = json.load(open(os.path.join(str(tmp_path),
+                                      "qmax_frontier_N12.json")))
+    assert probed == [10, 10, 8, 9]  # the miss at 10 escalates (2nd search)
+    assert out["complete"] is True
+    assert out["lower_bound"] == 9
+    assert out["Q10"]["min_energy"] == 4
 
 
 def test_warm_states_structure(tmp_path, monkeypatch):

@@ -28,12 +28,17 @@ N=18: certificates to Q = 226 (probes to 222, warm walk 223..226);
       warm 227 at 1 attack under TWO independent full-budget seeds.
 
 Run from the repo root on the real TPU:
-``python -m tools.qmax_frontier [--n 12] [--start Q0]``.
+``python -m tools.qmax_frontier [--n 12] [--start Q0] [--budget-s 1800]``.
+``--budget-s`` bounds the campaign by wall clock: no new probe starts after
+the budget is spent, the frontier JSON is flushed after *every* probe, and a
+budget-stopped walk records ``"complete": false`` so a later run (or
+``tools.qmax_campaign --skip-probes``) can resume from the banked bound.
 """
 import argparse
 import json
 import math
 import os
+import time
 
 import numpy as np
 
@@ -46,6 +51,9 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=12)
     ap.add_argument("--start", type=int, default=None,
                     help="first probe Q (default N^2 - 2)")
+    ap.add_argument("--budget-s", type=float, default=None,
+                    help="wall-clock budget; no new probe starts past it "
+                         "(each probe is a few hundred seconds)")
     args = ap.parse_args(argv)
     N = args.n
     if math.gcd(N, 210) == 1:
@@ -55,6 +63,18 @@ def main(argv=None):
     from mcqueens.utils import cache
     cache.enable()
     out = {}
+    t_start = time.time()
+    json_path = os.path.join(OUTDIR, f"qmax_frontier_N{N}.json")
+
+    def flush(best_zero, complete):
+        out["lower_bound"] = best_zero
+        out["complete"] = complete
+        with open(json_path, "w") as f:
+            json.dump(out, f, indent=1)
+
+    def budget_left():
+        return (args.budget_s is None
+                or time.time() - t_start < args.budget_s)
 
     def probe(Q):
         e, best, wall, props = search(N, Q, 1 << 20, 6.0)
@@ -78,9 +98,14 @@ def main(argv=None):
     # Adaptive descent: the N=12 misses showed min energy growing ~2 per
     # excess queen, so a miss at energy e suggests the edge is ~e/2 below.
     best_zero, smallest_miss = None, N * N
+    complete = True
     Q = args.start if args.start is not None else N * N - 2
     while Q >= 1:
+        if not budget_left():
+            complete = False
+            break
         e = probe(Q)
+        flush(best_zero, False)
         if e == 0:
             best_zero = Q
             break
@@ -88,15 +113,18 @@ def main(argv=None):
         Q -= max(2, e // 2)
     if best_zero is not None:  # tighten: walk up to the edge
         for Q in range(best_zero + 1, smallest_miss):
+            if not budget_left():
+                complete = False
+                break
             if probe(Q) != 0:
                 break
             best_zero = Q
-    out["lower_bound"] = best_zero
-    with open(os.path.join(OUTDIR, f"qmax_frontier_N{N}.json"), "w") as f:
-        json.dump(out, f, indent=1)
+            flush(best_zero, False)
+    flush(best_zero, complete)
     misses = sorted(int(k[1:]) for k, v in out.items()
                     if k.startswith("Q") and v["min_energy"] > 0)
-    print(f"FINAL Q_max({N},3) >= {best_zero}; misses at {misses}")
+    tag = "" if complete else " [budget stop]"
+    print(f"FINAL Q_max({N},3) >= {best_zero}; misses at {misses}{tag}")
 
 
 if __name__ == "__main__":
