@@ -67,21 +67,31 @@ class Config:
     common: dict
     tpu: TpuConfig
 
+    def _req(self, key: str):
+        # The reference config schema makes these mandatory
+        # (``/root/reference/config.yaml:2-18``); name the missing key
+        # instead of dying with a bare KeyError deep in a driver.
+        try:
+            return self.common[key]
+        except KeyError:
+            raise ValueError(
+                f"config is missing required key common.{key}") from None
+
     @property
     def n_steps(self) -> int:
-        return int(self.common["n_steps"])
+        return int(self._req("n_steps"))
 
     @property
     def n_runs(self) -> int:
-        return int(self.common["n_runs"])
+        return int(self._req("n_runs"))
 
     @property
     def verbose(self) -> bool:
-        return bool(self.common["verbose"])
+        return bool(self._req("verbose"))
 
     @property
     def init_mode(self) -> str:
-        return self.common["initialization"]
+        return self._req("initialization")
 
     @property
     def mcmc_type(self) -> str:
@@ -98,14 +108,19 @@ class Config:
 
     @property
     def output_path(self) -> str:
-        return self.common["output_path"]
+        return self._req("output_path")
 
     @property
     def sched_cfg(self) -> dict:
-        return self.common["betta_scheduling"]
+        return self._req("betta_scheduling")
 
     def section(self, name: str) -> dict:
-        return self.raw[name]
+        try:
+            return self.raw[name]
+        except KeyError:
+            raise ValueError(
+                f"config is missing the '{name}' section required by "
+                f"experiment_type: {self.experiment_type}") from None
 
 
 def load_config(path: str) -> Config:

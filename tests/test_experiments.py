@@ -147,6 +147,19 @@ def test_config_none_string_and_unknown_tpu_key():
         parse_config(raw3)
 
 
+def test_config_missing_keys_name_the_key():
+    raw = _base_config("single_N")
+    del raw["common"]["output_path"]
+    cfg = parse_config(raw)
+    with pytest.raises(ValueError, match="common.output_path"):
+        cfg.output_path
+    raw2 = _base_config("single_N")
+    del raw2["single_N"]
+    cfg2 = parse_config(raw2)
+    with pytest.raises(ValueError, match="'single_N' section"):
+        cfg2.section("single_N")
+
+
 def test_reference_config_yaml_parses():
     """The repo config.yaml (reference schema) must parse unchanged."""
     from mcqueens.experiments.config import load_config
