@@ -88,6 +88,21 @@ def test_campaign_without_confirm_stops_at_first_miss(tmp_path, monkeypatch):
     assert json.load(open(path(12)))["lower_bound"] == 12
 
 
+def test_campaign_forwards_probe_budget(tmp_path, monkeypatch):
+    calls, path = _wire(tmp_path, monkeypatch, edge_by_seed={31337: 12})
+    seen = []
+
+    def budget_frontier(argv):
+        seen.append(argv)
+        n = int(argv[argv.index("--n") + 1])
+        with open(path(n), "w") as f:
+            json.dump({"lower_bound": 10}, f)
+
+    monkeypatch.setattr(qmax_campaign.qmax_frontier, "main", budget_frontier)
+    qmax_campaign.main(["--n", "12", "--budget-s", "900"])
+    assert seen == [["--n", "12", "--budget-s", "900.0"]]
+
+
 def test_campaign_skip_probes_reuses_bound(tmp_path, monkeypatch):
     calls, path = _wire(tmp_path, monkeypatch, edge_by_seed={31337: 12})
     with open(path(12), "w") as f:

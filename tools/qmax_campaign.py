@@ -56,13 +56,20 @@ def main(argv=None):
     ap.add_argument("--skip-probes", action="store_true",
                     help="reuse an existing frontier JSON's lower_bound "
                          "instead of re-running the descent probes")
+    ap.add_argument("--budget-s", type=float, default=None,
+                    help="wall-clock budget for the probe phase "
+                         "(forwarded to tools.qmax_frontier; the warm walk "
+                         "then starts from whatever the probes banked)")
     args = ap.parse_args(argv)
     N = args.n
     if math.gcd(N, 210) == 1:
         raise SystemExit(f"N={N} is closed by Klarner: Q_max = N^2 = {N*N}")
 
     if not args.skip_probes:
-        qmax_frontier.main(["--n", str(N)])
+        frontier_argv = ["--n", str(N)]
+        if args.budget_s is not None:
+            frontier_argv += ["--budget-s", str(args.budget_s)]
+        qmax_frontier.main(frontier_argv)
     bound = _load(N)["lower_bound"]
     if bound is None:
         raise SystemExit(f"descent probes found no certificate for N={N}")
