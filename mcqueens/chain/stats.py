@@ -17,14 +17,33 @@ from __future__ import annotations
 import numpy as np
 
 
-def energy_curve_stats(histories):
-    """(R, P) energy histories -> (mean, std) over runs, each (P,).
+def energy_curve_stats(histories, lens=None):
+    """(R, P) energy histories -> (mean, std) over runs.
 
     Population std (ddof=0), matching ``np.std`` in the reference
     (``experiments.py:594-595``).
+
+    When ``lens`` (per-run truncated history lengths in points, from
+    ``ChainResult.history_len``) is given, each run contributes only its own
+    first ``lens[r]`` points — the reference's break-before-append patience
+    semantics (``experiments.py:349-355``): a stopped run's history simply
+    *ends*, it does not repeat its frozen value.  The returned curves are
+    truncated at ``max(lens)`` (no run has data past it); the reference
+    itself crashes on such ragged histories (``np.array`` of unequal-length
+    lists at ``experiments.py:593``), so masked aggregation is the
+    documented divergence, like the compare_beta_end TypeError fix.
     """
     h = np.asarray(histories, dtype=np.float64)
-    return h.mean(axis=0), h.std(axis=0)
+    if lens is None:
+        return h.mean(axis=0), h.std(axis=0)
+    lens = np.asarray(lens, dtype=np.int64)
+    p_max = int(lens.max())
+    h = h[:, :p_max]
+    alive = np.arange(p_max)[None, :] < lens[:, None]  # (R, <=P)
+    count = alive.sum(axis=0)  # >= 1 everywhere: the longest run spans p_max
+    mean = np.where(alive, h, 0.0).sum(axis=0) / count
+    var = np.where(alive, (h - mean) ** 2, 0.0).sum(axis=0) / count
+    return mean, np.sqrt(var)
 
 
 def acceptance_rate_bins(accept_bins, total_bins):

@@ -110,14 +110,12 @@ def main(argv=None) -> int:
                f"_st{args.n_steps}_b{args.beta_start:g}-{args.beta_end:g}"
                f"_s{args.seed}_{args.kernel}"
                + (f"_T{args.tempering}" if args.tempering else ""))
-        # Each save rewrites the full accumulated history, so saving every
-        # segment costs O(segments^2) I/O on long runs; cap the run at ~16
-        # checkpoint writes (a kill loses at most 1/16 of the progress).
-        segs = max(1, args.n_steps // stride)
-        if args.tempering:
-            segs = -(-segs // args.exchange_interval)
+        # History I/O is incremental (each chunk file written once), so the
+        # per-save cost is just the carry; a 30 s floor between writes keeps
+        # huge-chain searches from spending their time serializing state
+        # while bounding a kill's lost progress to ~30 s.
         checkpointer = Checkpointer(args.checkpoint_dir, tag=tag,
-                                    every=max(1, segs // 16))
+                                    min_interval_s=30.0)
 
     initial_states = None
     if args.resume_from:

@@ -38,6 +38,7 @@ in VMEM inside a Pallas kernel and cheap to vmap over thousands of chains.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 N_BOARD_FAMILIES = 12
@@ -126,6 +127,25 @@ def table_energy(table):
     """E = sum over lines of C(count, 2).  Equals the pairwise oracle energy."""
     t = table.astype(jnp.int32)
     return jnp.sum(t * (t - 1) // 2, dtype=jnp.int32)
+
+
+def batch_energies(states, energy_fn, chunk: int = 8192):
+    """``vmap(energy_fn)`` over axis 0, dispatched in <= ``chunk`` slices.
+
+    A whole-batch vmap of a table build materializes a (C, table_size)
+    scatter buffer; once that buffer passes ~2 GiB (C = 65536 boards at
+    N = 18) this TPU backend silently miscompiles it — every chain's initial
+    energy came back as the same wrong constant (measured: 25476 instead of
+    the oracle's 163 for a warm-started board; correct at C <= 32768).
+    Chunked dispatch keeps each buffer a few hundred MiB, which measures
+    correct at every batch size, and unrolls into the same jit program.
+    """
+    C = states.shape[0]
+    if C <= chunk:
+        return jax.vmap(energy_fn)(states)
+    return jnp.concatenate(
+        [jax.vmap(energy_fn)(states[s:s + chunk]) for s in range(0, C, chunk)]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -130,6 +130,10 @@ def load_config(path: str) -> Config:
 
 
 def parse_config(raw: dict) -> Config:
+    for key in ("experiment_type", "common"):
+        if key not in raw:
+            raise ValueError(f"config is missing the required top-level "
+                             f"'{key}' key")
     experiment_type = raw["experiment_type"]
     if experiment_type not in EXPERIMENT_TYPES:
         raise ValueError(f"Unknown experiment_type: {experiment_type}")

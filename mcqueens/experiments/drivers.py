@@ -65,20 +65,22 @@ def run_single_n(cfg: Config, outdir: str = ".", mesh=None):
     if isinstance(sched_type, list):
         schedules = sched_mod.schedules_from_types(sched_type, sched_cfg,
                                                    cfg.n_steps)
-        histories, steps, bests = {}, {}, {}
+        histories, steps, lens, bests = {}, {}, {}, {}
         for schedule, base_seed in schedules:
             res = _run(cfg.tpu, N, cfg.n_steps, cfg.init_mode, schedule,
                        cfg.n_runs, base_seed, cfg.mcmc_type,
                        cfg.early_stop_patience, cfg.verbose, mesh)
             histories[schedule.label] = res.energy_history
             steps[schedule.label] = res.history_steps
+            lens[schedule.label] = res.history_len
             bests[schedule.label] = res.best_energy
             if cfg.verbose:
                 for e in res.best_energy:
                     print(e)
         title = f"Energy History (N={N}, {len(schedules)} schedules)"
         plotting.plot_energy_histories(histories, steps, title,
-                                       out_path=cfg.output_path, outdir=outdir)
+                                       out_path=cfg.output_path, outdir=outdir,
+                                       lens_by_label=lens)
         return {"all_histories": histories, "all_best_energies": bests}
 
     schedule, base_seed = sched_mod.schedule_from_common(cfg.common, cfg.n_steps)
@@ -92,6 +94,7 @@ def run_single_n(cfg: Config, outdir: str = ".", mesh=None):
     plotting.plot_energy_histories(
         {"Schedule": res.energy_history}, {"Schedule": res.history_steps},
         title, out_path=cfg.output_path, outdir=outdir,
+        lens_by_label={"Schedule": res.history_len},
     )
     return {
         "all_histories": {"Schedule": res.energy_history},
@@ -110,7 +113,7 @@ def run_beta_start_end_pairs(
     from mcqueens.experiments.config import TpuConfig
 
     tpu = tpu or TpuConfig()
-    histories, steps, bests, bins = {}, {}, {}, {}
+    histories, steps, lens, bests, bins = {}, {}, {}, {}, {}
     for idx, (beta_start, beta_end) in enumerate(beta_start_ends):
         schedule = sched_mod.build_schedule(
             annealing_type, n_steps, beta_start=beta_start, beta_end=beta_end
@@ -121,6 +124,7 @@ def run_beta_start_end_pairs(
         label = f"beta: {beta_start}->{beta_end}"
         histories[label] = res.energy_history
         steps[label] = res.history_steps
+        lens[label] = res.history_len
         bests[label] = res.best_energy
         bins[label] = (res.accept_bins, res.total_bins)
         if verbose:
@@ -134,7 +138,8 @@ def run_beta_start_end_pairs(
             f"(N={N}, {annealing_type}, init_mode={init_mode})"
         )
         plotting.plot_energy_histories(histories, steps, title,
-                                       out_path=out_path, outdir=outdir)
+                                       out_path=out_path, outdir=outdir,
+                                       lens_by_label=lens)
         if out_path_acceptance is not None:
             title_acc = (
                 f"Acceptance Rate for Different beta Ranges "
@@ -147,6 +152,7 @@ def run_beta_start_end_pairs(
     return {
         "all_histories": histories,
         "all_history_steps": steps,
+        "all_history_lens": lens,
         "all_best_energies": bests,
         "all_bins": bins,
     }
@@ -181,6 +187,7 @@ def run_compare_beta_end(
             n1, n2, title=title, out_path=out_path, outdir=outdir,
             schedule_labels=labels,
             annealing_type=annealing_type, init_mode=init_mode,
+            lens_n1=res1["all_history_lens"], lens_n2=res2["all_history_lens"],
         )
     return {"N1": n1, "N2": n2, "result_N1": res1, "result_N2": res2}
 

@@ -58,17 +58,23 @@ def _finish(fig_path, outdir):
 
 
 def plot_energy_histories(histories_by_label, steps_by_label, title,
-                          out_path=None, outdir="."):
+                          out_path=None, outdir=".", lens_by_label=None):
     """Mean +/- std energy curves per label (log-y) + per-label CSVs.
 
     Args:
         histories_by_label: {label: (R, P) array}.
         steps_by_label: {label: (P,) step axis}.
+        lens_by_label: optional {label: (R,) truncated history lengths}
+            (``ChainResult.history_len``); early-stopped runs then
+            contribute only their truncated prefix (reference
+            break-before-append semantics) instead of frozen tails, and the
+            curve/CSV end at the longest surviving run.
     """
     plt.figure(figsize=(12, 7))
     for idx, (label, hist) in enumerate(histories_by_label.items()):
-        mean, std = stats.energy_curve_stats(hist)
-        steps = np.asarray(steps_by_label[label])
+        lens = None if lens_by_label is None else lens_by_label.get(label)
+        mean, std = stats.energy_curve_stats(hist, lens)
+        steps = np.asarray(steps_by_label[label])[: len(mean)]
         color = COLOR_CYCLE[idx % len(COLOR_CYCLE)]
         pd.DataFrame(
             {"step": steps, "mean_energy": mean, "std_energy": std}
@@ -121,7 +127,7 @@ def plot_acceptance_rates_binned(bins_by_label, n_steps, title=None,
 def plot_energy_histories_side_by_side(
     histories_n1, steps_n1, histories_n2, steps_n2, n1, n2, title,
     out_path=None, outdir=".", schedule_labels=None,
-    annealing_type=None, init_mode=None,
+    annealing_type=None, init_mode=None, lens_n1=None, lens_n2=None,
 ):
     """Two-panel (N1 | N2) mean +/- std energy comparison.
 
@@ -139,15 +145,16 @@ def plot_energy_histories_side_by_side(
         title = f"{title} ({extras})" if extras else title
 
     fig, axes = plt.subplots(1, 2, figsize=(12, 7))
-    for ax, hists, steps_axis, n in (
-        (axes[0], histories_n1, steps_n1, n1),
-        (axes[1], histories_n2, steps_n2, n2),
+    for ax, hists, steps_axis, lens_axis, n in (
+        (axes[0], histories_n1, steps_n1, lens_n1, n1),
+        (axes[1], histories_n2, steps_n2, lens_n2, n2),
     ):
         for idx, label in enumerate(schedule_labels):
             if label not in hists:
                 continue
-            mean, std = stats.energy_curve_stats(hists[label])
-            steps = np.asarray(steps_axis[label])
+            lens = None if lens_axis is None else lens_axis.get(label)
+            mean, std = stats.energy_curve_stats(hists[label], lens)
+            steps = np.asarray(steps_axis[label])[: len(mean)]
             color = COLOR_CYCLE[idx % len(COLOR_CYCLE)]
             ax.plot(steps, mean, linewidth=2.5, label=label, color=color)
             ax.fill_between(

@@ -481,9 +481,10 @@ def init_carry_batch(seeds, spec: ChainSpec,
                   jnp.left_shift(1, bit)[:, :, None], 0),
         axis=1, dtype=jnp.int32,
     )
-    e0 = jax.vmap(
-        lambda q: tables_mod.table_energy(tables_mod.build_full3d_table(q, N))
-    )(queens)[:, None].astype(jnp.int32)
+    e0 = tables_mod.batch_energies(
+        queens,
+        lambda q: tables_mod.table_energy(tables_mod.build_full3d_table(q, N)),
+    )[:, None].astype(jnp.int32)
 
     block_seeds = (
         seeds[0].astype(jnp.int32)

@@ -380,8 +380,10 @@ def init_carry_batch(seeds, spec: ChainSpec,
     else:
         h2d = fastinit.board_init_batch(seeds, spec.N, spec.init_mode)
     heights = h2d.reshape(C, spec.N * spec.N).astype(jnp.int32)
-    tabs = jax.vmap(tables_mod.build_board_table)(h2d)
-    e0 = jax.vmap(tables_mod.table_energy)(tabs)[:, None].astype(jnp.int32)
+    e0 = tables_mod.batch_energies(
+        h2d, lambda h: tables_mod.table_energy(
+            tables_mod.build_board_table(h))
+    )[:, None].astype(jnp.int32)
     block_seeds = (
         seeds[0].astype(jnp.int32)
         + 7919 * jnp.arange(n_blocks, dtype=jnp.int32)[:, None]

@@ -149,6 +149,40 @@ def test_checkpoint_resume_is_bit_identical(tmp_path):
     np.testing.assert_array_equal(resumed.accept_bins, uninterrupted.accept_bins)
 
 
+def test_checkpoint_history_io_is_linear(tmp_path):
+    """VERDICT r3 Weak #4: each history chunk is written to disk exactly
+    once (O(total) I/O), not rewritten with every save (O(segments^2))."""
+
+    import collections
+
+    FakeCarry = collections.namedtuple("FakeCarry", ["x"])
+    carry = FakeCarry(x=np.zeros((4, 4), np.int32))
+    ck = Checkpointer(str(tmp_path), tag="lin", every=1)
+    chunks = []
+    n_segs, chunk = 12, np.arange(64, dtype=np.int32).reshape(8, 8)
+    for seg in range(1, n_segs + 1):
+        chunks.append(chunk.copy())
+        ck.save(carry, seg, chunks, fingerprint="fp")
+    # linear: n_segs chunk writes of chunk.nbytes each; quadratic would be
+    # n_segs * (n_segs + 1) / 2 of them
+    assert ck.history_bytes_written == n_segs * chunk.nbytes
+    restored = ck.restore(carry, fingerprint="fp")
+    assert restored is not None
+    got_carry, segs_done, got_chunks = restored
+    assert segs_done == n_segs and len(got_chunks) == n_segs
+    for c in got_chunks:
+        np.testing.assert_array_equal(c, chunk)
+
+    # min_interval_s throttles intermediate saves but a resume from any
+    # saved point is still well-formed
+    ck2 = Checkpointer(str(tmp_path), tag="thr", every=1,
+                       min_interval_s=3600.0)
+    for seg in range(1, 5):
+        ck2.save(carry, seg, [chunk] * seg, fingerprint="fp")
+    r2 = ck2.restore(carry, fingerprint="fp")
+    assert r2 is not None and r2[1] == 1  # only the first save landed
+
+
 def test_checkpoint_full3d_roundtrip(tmp_path):
     spec = _spec(n_steps=400, mcmc_type="full_3d", N=4)
     seeds = np.arange(2, dtype=np.uint32)

@@ -158,6 +158,11 @@ def test_config_missing_keys_name_the_key():
     cfg2 = parse_config(raw2)
     with pytest.raises(ValueError, match="'single_N' section"):
         cfg2.section("single_N")
+    for top in ("experiment_type", "common"):
+        raw3 = _base_config("single_N")
+        del raw3[top]
+        with pytest.raises(ValueError, match=top):
+            parse_config(raw3)
 
 
 def test_reference_config_yaml_parses():

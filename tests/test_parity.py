@@ -251,6 +251,93 @@ def test_sweep_curves_match_reference():
         np.testing.assert_allclose(ours, r["acc_curve"], atol=0.04)
 
 
+def test_early_stop_truncation_matches_reference_aggregation(tmp_path):
+    """VERDICT r3 Weak #3: when patience fires, the driver's CSV must carry
+    reference break-before-append truncation (``experiments.py:349-355``) —
+    each run contributes only its truncated history, never a frozen tail.
+
+    The reference itself crashes aggregating ragged histories, so its
+    per-run truncated histories are masked-averaged here (the documented
+    divergence) and compared to the CSV the single_N driver writes.
+    """
+    N, n_steps, patience, n_runs = 5, 20000, 1500, 12
+    beta = 2.0
+    script = textwrap.dedent(
+        f"""
+        import json, sys
+        sys.path.insert(0, {REFERENCE!r})
+        import numpy as np
+        from experiments import metropolis_mcmc_board, build_schedule_from_params
+
+        hists = []
+        for seed in range(200, 200 + {n_runs}):
+            sched = build_schedule_from_params(
+                "constant", {n_steps}, beta_const={beta},
+                beta_start={beta}, beta_end={beta})
+            res = metropolis_mcmc_board(
+                N={N}, n_steps={n_steps}, init_mode="random",
+                beta_schedule=sched, verbose=False, seed=seed,
+                early_stop_patience={patience})
+            hists.append(res["energy_history"])
+        lens = [len(h) for h in hists]
+        p_max = max(lens)
+        masked = [
+            float(np.mean([h[p] for h in hists if len(h) > p]))
+            for p in range(p_max)
+        ]
+        print(json.dumps({{"lens": lens, "masked_mean": masked}}))
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ref = json.loads(proc.stdout.strip().splitlines()[-1])
+    # the scenario is real: patience fired at different steps across runs
+    assert min(ref["lens"]) < max(ref["lens"]) <= n_steps
+
+    from mcqueens.experiments import drivers
+    from mcqueens.experiments.config import parse_config
+
+    cfg = parse_config({
+        "experiment_type": "single_N",
+        "common": {
+            "n_steps": n_steps, "n_runs": n_runs, "verbose": False,
+            "initialization": "random", "mcmc_type": "board",
+            "early_stop_patience": patience,
+            "betta_scheduling": {"type": "constant", "base_seed": 200,
+                                 "beta_const": beta},
+            "output_path": "figures/out.png",
+        },
+        "single_N": {"N": N},
+    })
+    out = drivers.run_from_config(cfg, outdir=str(tmp_path))
+    res = out["result"]
+    assert (res.history_len < res.energy_history.shape[1]).any()
+
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "results" / "Schedule.csv")
+    # CSV truncated at the longest surviving run, not padded to n_steps+1
+    assert len(df) == int(res.history_len.max())
+    # CSV rows == masked aggregation of our own histories (no frozen tails)
+    from mcqueens.chain import stats as stats_mod
+
+    mean, std = stats_mod.energy_curve_stats(res.energy_history,
+                                             res.history_len)
+    np.testing.assert_allclose(df["mean_energy"].to_numpy(), mean)
+    np.testing.assert_allclose(df["std_energy"].to_numpy(), std)
+    # Distribution-level agreement with the reference's masked curve while
+    # most runs are alive (both samplers target the same chain law; the
+    # survivor-biased deep tail is too noisy at 12 runs to pin down).
+    ref_curve = np.asarray(ref["masked_mean"])
+    checkpoints = [200, 500, 1000, min(len(ref_curve), len(mean)) * 2 // 3]
+    for p in checkpoints:
+        r, o = ref_curve[min(p, len(ref_curve) - 1)], mean[min(p, len(mean) - 1)]
+        assert abs(o - r) <= max(2.5, 0.25 * r), (p, o, r)
+
+
 def test_annealed_best_energy_quality_matches_reference():
     """Linear anneal at N=7: mean best energies agree within noise."""
     N, n_steps, n_runs = 7, 20000, 12

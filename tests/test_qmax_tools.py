@@ -137,19 +137,29 @@ class _FakeClock:
 
 
 def _wire_frontier(tmp_path, monkeypatch, energy_by_q, clock_step=0.0):
-    """Fake the TPU search under qmax_frontier's real orchestration."""
+    """Fake the TPU search under qmax_frontier's real orchestration.
+
+    Returns (probed, banked): ``banked[i]`` is the frontier JSON as it sat
+    on disk when probe ``i`` *started* — i.e. what a kill mid-probe would
+    leave behind, independent of the unconditional final flush.
+    """
     monkeypatch.setattr(qmax_frontier, "OUTDIR", str(tmp_path))
     monkeypatch.setattr(qmax_frontier, "full3d_energy", lambda a: 0)
     monkeypatch.setattr(qmax_frontier, "time", _FakeClock(clock_step))
-    probed = []
+    probed, banked = [], []
+    json_path = os.path.join(str(tmp_path), "qmax_frontier_N12.json")
 
     def fake_search(N, Q, n_steps, beta_end, seed=0):
+        if os.path.exists(json_path):
+            banked.append(json.load(open(json_path)))
+        else:
+            banked.append(None)
         probed.append(Q)
         board = np.zeros((Q, 3), np.int32)
         return energy_by_q[Q], board, 1.0, 4096 * n_steps
 
     monkeypatch.setattr(qmax_frontier, "search", fake_search)
-    return probed
+    return probed, banked
 
 
 def test_frontier_budget_stops_walk_and_flushes(tmp_path, monkeypatch):
@@ -157,20 +167,26 @@ def test_frontier_budget_stops_walk_and_flushes(tmp_path, monkeypatch):
     # ~30s (two time() calls per budget check + probes), so --budget-s 100
     # stops the walk before it can reach the Q=14 miss.
     energy = {10: 0, 11: 0, 12: 0, 13: 0, 14: 4}
-    probed = _wire_frontier(tmp_path, monkeypatch, energy, clock_step=30.0)
+    probed, banked = _wire_frontier(tmp_path, monkeypatch, energy,
+                                    clock_step=30.0)
     qmax_frontier.main(["--n", "12", "--start", "10", "--budget-s", "100"])
     out = json.load(open(os.path.join(str(tmp_path),
                                       "qmax_frontier_N12.json")))
     assert out["complete"] is False
     assert out["lower_bound"] == max(q for q in probed if energy[q] == 0)
     assert 14 not in probed  # the edge probe never started
-    for q in probed:  # every probe was banked before the stop
-        assert f"Q{q}" in out
+    # Every earlier probe was already banked on disk when the next one
+    # started (a kill mid-probe loses nothing) — asserted mid-run, not via
+    # the unconditional final flush.
+    for i, q in enumerate(probed[1:], start=1):
+        assert banked[i] is not None
+        for prev in probed[:i]:
+            assert f"Q{prev}" in banked[i]
 
 
 def test_frontier_unbudgeted_walks_to_the_edge(tmp_path, monkeypatch):
     energy = {10: 4, 8: 0, 9: 0}  # descent 10 -> miss e=4 -> 8, walk up to 9
-    probed = _wire_frontier(tmp_path, monkeypatch, energy)
+    probed, banked = _wire_frontier(tmp_path, monkeypatch, energy)
     qmax_frontier.main(["--n", "12", "--start", "10"])
     out = json.load(open(os.path.join(str(tmp_path),
                                       "qmax_frontier_N12.json")))
@@ -178,6 +194,10 @@ def test_frontier_unbudgeted_walks_to_the_edge(tmp_path, monkeypatch):
     assert out["complete"] is True
     assert out["lower_bound"] == 9
     assert out["Q10"]["min_energy"] == 4
+    # Regression (ADVICE r3): the flush right after a zero-energy descent
+    # probe must bank the NEW certificate, not a stale/None bound — i.e. by
+    # the time the walk-up probe at Q=9 starts, lower_bound is already 8.
+    assert banked[3]["lower_bound"] == 8
 
 
 def test_warm_states_structure(tmp_path, monkeypatch):

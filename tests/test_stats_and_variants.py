@@ -31,6 +31,30 @@ def test_energy_curve_stats_population_std():
     np.testing.assert_allclose(std, [1.0, 1.0])  # ddof=0, like the reference
 
 
+def test_energy_curve_stats_masked_truncation():
+    """With lens, early-stopped runs contribute only their prefix
+    (reference break-before-append, ``experiments.py:349-355``) and the
+    curve ends at the longest surviving run."""
+    h = np.array([
+        [4.0, 2.0, 2.0, 2.0],   # stopped after 2 points: tail is frozen
+        [6.0, 4.0, 2.0, 2.0],   # alive for 3 points
+        [8.0, 6.0, 4.0, 4.0],   # never stopped -- but history has 4 points
+    ])
+    lens = np.array([2, 3, 4])
+    mean, std = stats.energy_curve_stats(h, lens)
+    assert mean.shape == (4,)
+    np.testing.assert_allclose(mean, [6.0, 4.0, 3.0, 4.0])
+    np.testing.assert_allclose(std[2], 1.0)  # two alive runs: 2, 4
+    np.testing.assert_allclose(std[3], 0.0)  # single survivor
+    # frozen-tail divergence: the unmasked mean at the last point (8/3) is
+    # NOT what masked aggregation reports
+    assert mean[3] != pytest.approx(h[:, 3].mean())
+    # full-length lens == plain aggregation
+    m2, s2 = stats.energy_curve_stats(h, np.array([4, 4, 4]))
+    np.testing.assert_allclose(m2, h.mean(axis=0))
+    np.testing.assert_allclose(s2, h.std(axis=0))
+
+
 @pytest.mark.parametrize("kernel", ["tables", "naive"])
 def test_full3d_with_custom_queen_count(kernel):
     """Q != N^2: the reference's mcmc.py Q parameter (``mcmc.py:6``)."""

@@ -109,3 +109,21 @@ def test_line_indices_within_bounds_and_family_ranges():
         assert idx.shape == (N ** 3, 13)
         assert np.all(idx >= offs[None, :])
         assert np.all(idx < (offs + sizes)[None, :])
+
+
+def test_batch_energies_chunked_equals_direct():
+    """batch_energies (the >2GiB-scatter miscompile workaround, round 4)
+    must be a pure batching detail: chunked == one-shot vmap, any C."""
+    rng = np.random.default_rng(7)
+    N = 6
+    boards = rng.integers(0, N, size=(37, N, N)).astype(np.int32)
+
+    def efn(h):
+        return tables.table_energy(tables.build_board_table(h))
+
+    direct = np.asarray(jax.vmap(efn)(boards))
+    for chunk in (5, 8, 37, 100):
+        chunked = np.asarray(tables.batch_energies(boards, efn, chunk=chunk))
+        np.testing.assert_array_equal(chunked, direct)
+    want = np.array([_oracle.board_energy(b) for b in boards])
+    np.testing.assert_array_equal(direct, want)

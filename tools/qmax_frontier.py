@@ -105,9 +105,13 @@ def main(argv=None):
             complete = False
             break
         e = probe(Q)
-        flush(best_zero, False)
         if e == 0:
             best_zero = Q
+        # Bank the new certificate (if any) BEFORE anything else can kill
+        # the process: a flush of a stale best_zero here used to make
+        # --skip-probes resumes fail despite a verified board on disk.
+        flush(best_zero, False)
+        if e == 0:
             break
         smallest_miss = Q
         Q -= max(2, e // 2)

@@ -178,12 +178,47 @@ def check_recover_best_heights():
     return "replayed best boards == tracked best boards (256 chains)"
 
 
+def check_init_energy_at_scale():
+    """Initial energies == oracle at the 65536-chain campaign scale.
+
+    Regression for a real miscompile found in round 4: a single whole-batch
+    vmapped table build (a >2 GiB scatter buffer at C = 65536, N = 18)
+    silently returned a wrong constant energy on this backend, poisoning
+    every warm-started 65536-chain search.  Init now chunks the dispatch
+    (``tables.batch_energies``); this check replays both init paths at the
+    failing size and oracle-verifies sampled chains.
+    """
+    from mcqueens.kernels import board_shared
+
+    board_energy = _oracle_board_energy
+    C, N = 65536, 18
+    spec = _spec(N=N, kernel="pallas_shared", n_steps=64, history_stride=64)
+    seeds = np.arange(C, dtype=np.uint32)
+    # warm-start path: one fixed board broadcast to every chain
+    rng = np.random.default_rng(0)
+    board = rng.integers(0, N, size=(N, N)).astype(np.int32)
+    want = board_energy(board)
+    carry = board_shared.init_carry_batch(
+        seeds, spec, initial_states=np.repeat(board[None], C, axis=0))
+    e = np.asarray(carry.energy).reshape(-1)
+    assert (e == want).all(), (int(e.min()), int(e.max()), want)
+    # fresh-init path: oracle-spot-check scattered chains
+    carry2 = board_shared.init_carry_batch(seeds, spec)
+    e2 = np.asarray(carry2.energy).reshape(-1)
+    h2 = np.asarray(carry2.heights).reshape(-1, N, N)
+    for r in (0, 1, 32768, 65535):
+        assert board_energy(h2[r]) == e2[r], r
+    return (f"init energies at C={C}, N={N} == oracle "
+            f"(warm {want}; fresh spot-checked)")
+
+
 CHECKS = [
     ("tables_equals_naive", check_tables_equals_naive),
     ("incremental_vs_oracle", check_incremental_vs_oracle),
     ("tpu_vs_interpret_streams", check_tpu_vs_interpret_streams),
     ("klarner_zero", check_klarner_zero),
     ("recover_best_heights", check_recover_best_heights),
+    ("init_energy_at_scale", check_init_energy_at_scale),
 ]
 
 
