@@ -21,7 +21,9 @@ The reference CPU loop runs ~6.2e3 moves/s/core on comparable hardware.
 """
 
 import argparse
+import glob
 import json
+import os
 import sys
 import time
 
@@ -75,7 +77,35 @@ def main() -> None:
                           args.target_seconds, args.kernel)
         record["chains_4096_value"] = letter
         record["chains_4096_vs_baseline"] = letter / BASELINE_MOVES_PER_SEC
+    if not args.quick:
+        best = _best_prior_round()
+        if best is not None:
+            # Regression guard (VERDICT r3 Weak #5): compare against the best
+            # committed round so a real slowdown is visible in the JSON, not
+            # just absorbed as drift (r2->r3 drifted -1.7% unnoticed).
+            record["vs_best_round"] = per_chip / best
+            if per_chip < 0.9 * best:
+                record["regression"] = (
+                    f"more than 10% below the best committed round "
+                    f"({best:.3e} moves/s/chip)")
     print(json.dumps(record))
+
+
+def _best_prior_round():
+    """Best committed BENCH_r*.json headline value, or None."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            # The driver wraps bench output under "parsed".
+            v = rec.get("parsed", rec).get("value")
+        except (OSError, ValueError, AttributeError):
+            continue
+        if isinstance(v, (int, float)) and (best is None or v > best):
+            best = float(v)
+    return best
 
 
 def _measure(n, chains, segment_steps, target_seconds, kernel) -> float:
