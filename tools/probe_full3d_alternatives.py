@@ -1,0 +1,253 @@
+#!/usr/bin/env python
+"""Tie full_3d's measured pass coefficient to the VPU rate; probe the
+two untested alternatives (MXU one-hot scoring, packed SWAR coordinates).
+
+VERDICT r3 Missing #3: ``artifacts/probe_full3d_cap.json`` fits the
+production shared full_3d kernel's block-step time as t(Q) = a + b*Q with
+b = 0.0137 us/queen, proving the O(Q) one-vs-all pass *dominates* — but not
+that the constant is *optimal*.  This probe closes that gap three ways:
+
+1. **Coefficient decomposition** (`production_test_rate`): a synthetic
+   in-kernel loop executes exactly the production attack test
+   (``full3d_shared.py:189-206``: 3 diffs, 3 squares, 2 max, 3x(sub, mul),
+   2 ors, 2 selects + accumulate ~= 20 int32 ops per queen per chain) on
+   register-resident rows and measures ns per evaluated queen-VREG.
+   Multiplying by the production sweep's target amortization (9 targets
+   per 8 steps) predicts b from first principles; agreement with the
+   fitted 0.0137 us/queen means the pass already runs at the chip's
+   sustained integer issue rate — there is no scheduling headroom, only
+   fewer-ops-per-queen can cut b.
+
+2. **Packed SWAR probe** (`swar_test_rate`): two queens per int32 lane
+   (16-bit halves) would halve the VREGs per pass — IF the test survived
+   packing.  It does not survive cheaply: products like a2*(a2-m) overflow
+   16 bits (|a2*(a2-m)| < 2^20), so the packed test must fall back to the
+   7-relation equality form, and on this Mosaic target (int32 vectors
+   only; no i16 compare/abs/max — DESIGN.md section 4) every per-half
+   zero/equality/abs test costs a multi-op mask dance.  The probe times a
+   faithful SWAR sequence (field-safe biased diffs, carryless by
+   construction; XOR + guarded-add zero tests; mirror-max absolute
+   values) and reports the *effective* ns per queen — measured against
+   the production test it loses (more ops per queen than it saves in
+   lanes).
+
+3. **MXU one-hot probe** (`mxu_onehot_rate`): conflicts(cand) =
+   sum_f cnt_f[line_f(cand)] is a dot product against one-hot line
+   encodings, but the one-hot queen tensor is per-chain data of size
+   (Q, L_f, C) — it cannot be *maintained* (no in-kernel scatter, and the
+   mover update is a per-lane write), so it must be *rebuilt* every step;
+   the rebuild is itself an O(Q x L) elementwise pass, L times MORE work
+   than the direct compare the kernel already does.  The probe measures an
+   XLA implementation of one family's one-hot scoring vs the direct
+   compare at block shapes and reports the ratio.
+
+Writes ``artifacts/probe_full3d_alternatives.json``.  Run on the real TPU:
+``python -m tools.probe_full3d_alternatives [--quick]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    np.asarray(x)
+
+
+# Packed-field constants: two 16-bit halves per int32 lane.
+_LO = 0x0000FFFF
+_HINT = -0x80000000 + 0x00008000  # 0x80008000 as a signed int32
+_GUARD = 0x7FFF7FFF
+
+
+def _test_rate(kind: str, n_iter: int = 2048, reps: int = 4):
+    """ns per (8, 1024)-block evaluation of one queen-row attack test.
+
+    kind='production': the live 2-test form (full3d_shared.py:189-206).
+    kind='swar': the packed 7-relation form, two queens per lane.
+    Register-resident data (no VMEM streaming) — measures the ALU sequence,
+    the same regime as the production sweep's unrolled inner loop.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, C, inner = 8, 1024, 16
+
+    def production(xi, xj, xk, cx, cy, cz):
+        di, dj, dk = xi - cx, xj - cy, xk - cz
+        p2, q2, r2 = di * di, dj * dj, dk * dk
+        m = jnp.maximum(p2, jnp.maximum(q2, r2))
+        t = (p2 * (p2 - m)) | (q2 * (q2 - m)) | (r2 * (r2 - m))
+        return jnp.where(t == 0, 1, 0) + jnp.where(m == 0, 2, 0)
+
+    def _zero_halves(e):
+        """Per-16-bit-field flag (1 in the field's low bit iff it is zero)."""
+        t = (e & _GUARD) + _GUARD
+        nz = (t | e) & _HINT          # sign bit of each field: nonzero
+        m = (nz >> 15) & (1 | (1 << 16))   # 1 in bit0 of each field if nz
+        return (1 | (1 << 16)) - m     # 1 per field iff zero
+
+    def _eq_halves(a, b):
+        return _zero_halves(a ^ b)
+
+    def swar(xi, xj, xk, cx, cy, cz):
+        # Biased per-field diffs: fields hold coord + 64 - cand in [33, 95],
+        # added as a duplicated constant -> no carry between halves.
+        di = xi + cx   # cx pre-holds (64 - cand_x) duplicated in both halves
+        dj = xj + cy
+        dk = xk + cz
+        B = 64 | (64 << 16)
+        zi, zj, zk = _eq_halves(di, B), _eq_halves(dj, B), _eq_halves(dk, B)
+        # |d| per field via mirror-max: |d - 64| = max(d, 128 - d) - 64;
+        # SWAR max(a, b) = b + ((a - b) & sign-spread(a >= b)).
+        M = 128 | (128 << 16)
+
+        def smax(a, b):
+            z = ((a | _HINT) - (b & _GUARD))       # per-field a - b + 2^15
+            s = z & _HINT                           # guard bit per field
+            mask = ((s >> 15) & (1 | (1 << 16))) * 0xFFFF  # field mask
+            return (a & mask) | (b & ~mask)
+
+        ai = smax(di, M - di)
+        aj = smax(dj, M - dj)
+        ak = smax(dk, M - dk)
+        eij, eik, ejk = _eq_halves(ai, aj), _eq_halves(ai, ak), _eq_halves(aj, ak)
+        # 7 relations (board drops same_ij; keep all 7 like the kernel)
+        att = (zi & zj) | (zi & zk) | (zj & zk)
+        att = att | (zk & eij) | (zj & eik) | (zi & ejk)
+        att = att | (eij & eik)
+        return att & (1 | (1 << 16))
+
+    def kernel(x_ref, o_ref):
+        xi = x_ref[:]
+        xj = xi + 1
+        xk = xi + 2
+        cx = xi * 0 + (3 if kind == "production" else (61 | (61 << 16)))
+        cy = cx + 1
+        cz = cx + 2
+        fn = production if kind == "production" else swar
+        k = 4  # independent accumulator chains: throughput, not latency
+
+        def body(t, accs):
+            out = []
+            for a in accs:
+                for _ in range(inner // k):
+                    # xor keeps a true data dependency (nothing hoists or
+                    # constant-folds) at one extra op per evaluation
+                    a = a + fn(xi ^ a, xj, xk, cx, cy, cz)
+                out.append(a)
+            return tuple(out)
+
+        accs = lax.fori_loop(0, n_iter, body,
+                             tuple(xi * 0 + i for i in range(k)))
+        acc = accs[0]
+        for a in accs[1:]:
+            acc = acc + a
+        o_ref[:] = acc
+
+    x = jax.device_put(np.full((S, C), 70, dtype=np.int32))
+    f = jax.jit(lambda a: pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((S, C), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))(a))
+    _sync(f(x))
+    t0 = time.time()
+    for _ in range(reps):
+        o = f(x)
+    _sync(o)
+    evals = reps * n_iter * inner * (S * C // 1024)  # queen-VREG evals
+    return (time.time() - t0) / evals * 1e9
+
+
+def mxu_onehot_rate(Q: int = 256, C: int = 2048, L: int = 32, reps: int = 8):
+    """One line family's candidate scoring: one-hot rebuild + contract vs
+    the direct compare.  Returns (direct_us, onehot_us) per step."""
+    import jax
+    import jax.numpy as jnp
+
+    key_lines = np.random.default_rng(0).integers(0, L, size=(Q, C))
+    lines = jax.device_put(jnp.asarray(key_lines, jnp.int32))
+    cand = jax.device_put(jnp.asarray(
+        np.random.default_rng(1).integers(0, L, size=(C,)), jnp.int32))
+
+    @jax.jit
+    def direct(lines, cand):
+        return jnp.sum((lines == cand[None, :]).astype(jnp.int32), axis=0)
+
+    @jax.jit
+    def onehot(lines, cand):
+        # the per-step one-hot rebuild no scatter-free design can avoid
+        oh = (lines[:, :, None] == jnp.arange(L, dtype=jnp.int32)).astype(
+            jnp.bfloat16)                       # (Q, C, L)
+        ohc = (cand[:, None] == jnp.arange(L, dtype=jnp.int32)).astype(
+            jnp.bfloat16)                       # (C, L)
+        return jnp.einsum("qcl,cl->c", oh, ohc)  # contract on MXU
+
+    out = {}
+    for name, fn in (("direct", direct), ("onehot", onehot)):
+        _sync(fn(lines, cand))
+        t0 = time.time()
+        for _ in range(reps):
+            o = fn(lines, cand)
+        _sync(o)
+        out[name] = (time.time() - t0) / reps * 1e6
+    return out["direct"], out["onehot"]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default="artifacts/probe_full3d_alternatives.json")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args(argv)
+
+    from mcqueens.utils import cache
+
+    cache.enable()
+
+    n_iter = 256 if args.quick else 2048
+    out = {}
+
+    prod_ns = _test_rate("production", n_iter=n_iter)
+    swar_ns = _test_rate("swar", n_iter=n_iter)
+    # production: 1 queen-VREG per eval; swar: 2 queens per eval
+    out["production_test_ns_per_queen_vreg"] = round(prod_ns, 3)
+    out["swar_test_ns_per_queen_vreg"] = round(swar_ns / 2, 3)
+    out["swar_vs_production"] = round((swar_ns / 2) / prod_ns, 3)
+
+    # Predicted b coefficient: per step the fused sweep evaluates 9 targets
+    # per 8 steps (8 shared candidates + 1 old-side) against every queen;
+    # a 2048-chain block is 2 VREG rows per queen.
+    pred_b_us = prod_ns * (9 / 8) * 2 / 1e3
+    out["predicted_b_us_per_queen"] = round(pred_b_us, 4)
+    cap_path = os.path.join(os.path.dirname(args.json),
+                            "probe_full3d_cap.json")
+    if os.path.exists(cap_path):
+        with open(cap_path) as f:
+            fitted = json.load(f)["fit"]["b_us_per_queen"]
+        out["fitted_b_us_per_queen"] = fitted
+        out["predicted_over_fitted"] = round(pred_b_us / fitted, 3)
+
+    d_us, o_us = mxu_onehot_rate(Q=64 if args.quick else 256,
+                                 C=2048, L=32)
+    out["mxu_onehot_direct_us_per_family_step"] = round(d_us, 2)
+    out["mxu_onehot_onehot_us_per_family_step"] = round(o_us, 2)
+    out["mxu_onehot_slowdown"] = round(o_us / d_us, 2)
+
+    print(json.dumps(out, indent=1))
+    os.makedirs(os.path.dirname(args.json) or ".", exist_ok=True)
+    with open(args.json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
