@@ -85,17 +85,26 @@ def test_floor_table_boards_score_their_claimed_energy():
     rows = re.findall(
         r"^\|\s*(\d+)\s*\|\s*\*\*(\d+)\*\*\s*\|(.*)$", text, re.M)
     assert rows, "floors table not found in RESULTS.md"
-    checked = 0
+    rows_checked = 0
     for n_str, floor_str, rest in rows:
         n, floor = int(n_str), int(floor_str)
-        for fname in re.findall(r"[\w{},*.-]*best_heights_[\w{},*.-]+\.txt",
-                                rest):
+        cited = re.findall(r"[\w{},*.-]*best_heights_[\w{},*.-]+\.txt", rest)
+        if not cited:
+            continue  # rows evidenced via prose/audit note, caught elsewhere
+        energies = []
+        for fname in cited:
             for pat in _candidates(fname):
                 for path in glob.glob(pat, recursive=True):
                     rec = verify(path)
                     assert rec["distinct_cells"], path
-                    assert rec["oracle_energy"] == floor, (
-                        f"{path} scores {rec['oracle_energy']}, "
-                        f"table claims {floor}")
-                    checked += 1
-    assert checked >= 3, "too few floor boards verified — table reshaped?"
+                    energies.append(rec["oracle_energy"])
+        # a row may also cite its warm-start source (a higher-energy board),
+        # but the claimed floor itself must be attained and never undercut
+        assert floor in energies, (
+            f"N={n}: no cited board scores the claimed floor {floor} "
+            f"(found {sorted(energies)})")
+        assert min(energies) == floor, (
+            f"N={n}: a cited board beats the claimed floor {floor} "
+            f"(found {sorted(energies)}) — update the table")
+        rows_checked += 1
+    assert rows_checked >= 3, "too few floor rows verified — table reshaped?"
