@@ -224,3 +224,53 @@ def test_warm_states_structure(tmp_path, monkeypatch):
         assert rows[:Q - 1] == [tuple(q) for q in base.tolist()]
         assert len(set(rows)) == Q          # extra cell was empty
         assert tuple(states[r, -1]) not in occ
+
+
+def _wire_floors(tmp_path, monkeypatch, energies):
+    """Fake tools.full3d_floors_campaign._search; energies is a list popped
+    per call (fresh, confirm, refine0, refine1, ...)."""
+    from tools import full3d_floors_campaign as camp
+
+    monkeypatch.setattr(camp, "OUTDIR", str(tmp_path))
+    calls = []
+
+    def fake_search(n, seed, b0, b1, resume_from=None):
+        e = energies[len(calls)]
+        calls.append((seed, b0, b1, resume_from))
+        path = os.path.join(str(tmp_path), "competition_results",
+                            f"best_heights_{n}_{len(calls):04d}.txt")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write("0,0,0\n")
+        return e, path, 1.0
+
+    monkeypatch.setattr(camp, "_search", fake_search)
+    return camp, calls
+
+
+def test_floors_campaign_refines_until_stable(tmp_path, monkeypatch):
+    # fresh 27, confirm 26, refine improves to 24, next refine stalls -> stop
+    camp, calls = _wire_floors(tmp_path, monkeypatch, [27, 26, 24, 24])
+    camp.main(["--sizes", "14"])
+    log = json.load(open(os.path.join(str(tmp_path), "campaign.json")))
+    assert log["N14"]["floor"] == 24
+    assert [c[:3] for c in calls] == [
+        (31337, 0.8, 7.0), (4242, 0.8, 7.0),
+        (777, 2.0, 10.0), (778, 2.0, 10.0),
+    ]
+    # refinements warm-start from the best board so far
+    assert calls[2][3].endswith("0002.txt")  # confirm's 26 board
+    assert calls[3][3].endswith("0003.txt")  # refine0's 24 board
+
+
+def test_floors_campaign_resumes_from_banked_searches(tmp_path, monkeypatch):
+    camp, calls = _wire_floors(tmp_path, monkeypatch, [30, 29, 29])
+    camp.main(["--sizes", "12"])
+    n_first = len(calls)
+    assert n_first == 3  # fresh, confirm, one stalled refinement
+    # a rerun must skip everything already banked
+    camp2, calls2 = _wire_floors(tmp_path, monkeypatch, [])
+    camp2.main(["--sizes", "12"])
+    assert calls2 == []
+    log = json.load(open(os.path.join(str(tmp_path), "campaign.json")))
+    assert log["N12"]["floor"] == 29
