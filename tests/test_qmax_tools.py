@@ -78,14 +78,20 @@ def test_campaign_walk_and_two_seed_confirmation(tmp_path, monkeypatch):
         ("push", 14, 31337),   # primary walk resumes -> misses at 14
         ("push", 14, 4242),    # confirm re-attacks -> miss holds: done
     ]
-    assert json.load(open(path(12)))["lower_bound"] == 13
+    out = json.load(open(path(12)))
+    assert out["lower_bound"] == 13
+    # The finished campaign closes the frontier even when the probe phase
+    # was budget-stopped (VERDICT r3 demand: complete + an edge entry).
+    assert out["complete"] is True
 
 
 def test_campaign_without_confirm_stops_at_first_miss(tmp_path, monkeypatch):
     calls, path = _wire(tmp_path, monkeypatch, edge_by_seed={31337: 12})
     qmax_campaign.main(["--n", "12", "--seed", "31337"])
     assert calls == [("frontier", 12), ("push", 11, 31337)]
-    assert json.load(open(path(12)))["lower_bound"] == 12
+    out = json.load(open(path(12)))
+    assert out["lower_bound"] == 12
+    assert out["complete"] is True
 
 
 def test_campaign_forwards_probe_budget(tmp_path, monkeypatch):

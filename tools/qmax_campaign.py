@@ -91,6 +91,14 @@ def main(argv=None):
                         "--seed", str(args.seed), "--warm-start"])
         bound = _load(N)["lower_bound"]
 
+    # The campaign's end state IS the frontier closure: the walk ended on a
+    # full-budget warm miss (held under the confirm seed when one was
+    # given), so the probe-phase budget stop no longer leaves the size open.
+    out = _load(N)
+    out["complete"] = True
+    with open(_frontier_path(N), "w") as f:
+        json.dump(out, f, indent=1)
+
     print(f"CAMPAIGN DONE: Q_max({N},3) >= {bound} "
           f"(evidence in {_frontier_path(N)})")
 
