@@ -12,8 +12,14 @@ that the constant is *optimal*.  This probe closes that gap three ways:
    (``full3d_shared.py:189-206``: 3 diffs, 3 squares, 2 max, 3x(sub, mul),
    2 ors, 2 selects + accumulate ~= 20 int32 ops per queen per chain) on
    register-resident rows and measures ns per evaluated queen-VREG.
-   Multiplying by the production sweep's target amortization (9 targets
-   per 8 steps) predicts b from first principles; agreement with the
+   The loop must be *throughput*-bound, not latency-bound, to model the
+   production sweep (whose 9-target x 8-row blocks expose massive ILP):
+   the probe sweeps the number of independent accumulator chains and
+   takes the saturated rate (at k=4 the production sequence measures
+   ~34 ns/queen-VREG — a pure dependency-stall artifact; it saturates
+   near 2x lower).  Multiplying the saturated rate by the production
+   sweep's target amortization (9 targets per 8 steps, 2 VREGs per
+   2048-chain row) predicts b from first principles; agreement with the
    fitted 0.0137 us/queen means the pass already runs at the chip's
    sustained integer issue rate — there is no scheduling headroom, only
    fewer-ops-per-queen can cut b.
@@ -65,13 +71,16 @@ _HINT = -0x80000000 + 0x00008000  # 0x80008000 as a signed int32
 _GUARD = 0x7FFF7FFF
 
 
-def _test_rate(kind: str, n_iter: int = 2048, reps: int = 4):
+def _test_rate(kind: str, n_iter: int = 2048, reps: int = 4, k: int = 4):
     """ns per (8, 1024)-block evaluation of one queen-row attack test.
 
     kind='production': the live 2-test form (full3d_shared.py:189-206).
     kind='swar': the packed 7-relation form, two queens per lane.
-    Register-resident data (no VMEM streaming) — measures the ALU sequence,
-    the same regime as the production sweep's unrolled inner loop.
+    ``k`` independent accumulator chains set the exposed ILP; sweep k and
+    take the saturated (minimum) rate to measure throughput rather than
+    dependency latency.  Register-resident data (no VMEM streaming) —
+    measures the ALU sequence, the same regime as the production sweep's
+    unrolled inner loop.
     """
     import jax
     import jax.numpy as jnp
@@ -80,6 +89,7 @@ def _test_rate(kind: str, n_iter: int = 2048, reps: int = 4):
     from jax.experimental.pallas import tpu as pltpu
 
     S, C, inner = 8, 1024, 16
+    u = max(1, inner // k)  # per-chain unroll
 
     def production(xi, xj, xk, cx, cy, cz):
         di, dj, dk = xi - cx, xj - cy, xk - cz
@@ -87,6 +97,20 @@ def _test_rate(kind: str, n_iter: int = 2048, reps: int = 4):
         m = jnp.maximum(p2, jnp.maximum(q2, r2))
         t = (p2 * (p2 - m)) | (q2 * (q2 - m)) | (r2 * (r2 - m))
         return jnp.where(t == 0, 1, 0) + jnp.where(m == 0, 2, 0)
+
+    def nomul(xi, xj, xk, cx, cy, cz):
+        # Multiply-free equivalent: |d| via max(d, -d), membership in
+        # {0, m} via compares.  Same predicate, zero int32 multiplies
+        # (the production form spends 6 per evaluation: 3 squares +
+        # 3 a2*(a2-m) products).
+        di, dj, dk = xi - cx, xj - cy, xk - cz
+        ai = jnp.maximum(di, -di)
+        aj = jnp.maximum(dj, -dj)
+        ak = jnp.maximum(dk, -dk)
+        m = jnp.maximum(ai, jnp.maximum(aj, ak))
+        att = (((ai == 0) | (ai == m)) & ((aj == 0) | (aj == m))
+               & ((ak == 0) | (ak == m)))
+        return jnp.where(att, 1, 0) + jnp.where(m == 0, 2, 0)
 
     def _zero_halves(e):
         """Per-16-bit-field flag (1 in the field's low bit iff it is zero)."""
@@ -130,16 +154,15 @@ def _test_rate(kind: str, n_iter: int = 2048, reps: int = 4):
         xi = x_ref[:]
         xj = xi + 1
         xk = xi + 2
-        cx = xi * 0 + (3 if kind == "production" else (61 | (61 << 16)))
+        cx = xi * 0 + ((61 | (61 << 16)) if kind == "swar" else 3)
         cy = cx + 1
         cz = cx + 2
-        fn = production if kind == "production" else swar
-        k = 4  # independent accumulator chains: throughput, not latency
+        fn = {"production": production, "nomul": nomul, "swar": swar}[kind]
 
         def body(t, accs):
             out = []
             for a in accs:
-                for _ in range(inner // k):
+                for _ in range(u):
                     # xor keeps a true data dependency (nothing hoists or
                     # constant-folds) at one extra op per evaluation
                     a = a + fn(xi ^ a, xj, xk, cx, cy, cz)
@@ -163,8 +186,58 @@ def _test_rate(kind: str, n_iter: int = 2048, reps: int = 4):
     for _ in range(reps):
         o = f(x)
     _sync(o)
-    evals = reps * n_iter * inner * (S * C // 1024)  # queen-VREG evals
+    evals = reps * n_iter * k * u * (S * C // 1024)  # queen-VREG evals
     return (time.time() - t0) / evals * 1e9
+
+
+def _op_rate(op: str, n_iter: int = 4096, reps: int = 4, k: int = 16):
+    """ns per int32 VREG-op ('add' or 'mul'), k independent chains.
+
+    Isolates whether int32 multiply is issue-rate-expensive on this VPU —
+    the hypothesis behind the nomul score form (the production test spends
+    6 of its ~20 ops on multiplies).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, C, u = 8, 1024, 8
+
+    def kernel(x_ref, o_ref):
+        xi = x_ref[:]
+
+        def body(t, accs):
+            out = []
+            for a in accs:
+                for _ in range(u):
+                    # or-1 keeps mul chains from collapsing to zero and
+                    # costs the same one extra op in both variants.
+                    a = (a * xi if op == "mul" else a + xi) | 1
+                out.append(a)
+            return tuple(out)
+
+        accs = lax.fori_loop(0, n_iter, body,
+                             tuple(xi + i for i in range(k)))
+        acc = accs[0]
+        for a in accs[1:]:
+            acc = acc ^ a
+        o_ref[:] = acc
+
+    x = jax.device_put(np.full((S, C), 3, dtype=np.int32))
+    f = jax.jit(lambda a: pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((S, C), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))(a))
+    _sync(f(x))
+    t0 = time.time()
+    for _ in range(reps):
+        o = f(x)
+    _sync(o)
+    # 2 ops per unroll element (op + or), per 1024-lane VREG
+    ops = reps * n_iter * k * u * 2 * (S * C // 1024)
+    return (time.time() - t0) / ops * 1e9
 
 
 def mxu_onehot_rate(Q: int = 256, C: int = 2048, L: int = 32, reps: int = 8):
@@ -215,25 +288,59 @@ def main(argv=None) -> int:
     n_iter = 256 if args.quick else 2048
     out = {}
 
-    prod_ns = _test_rate("production", n_iter=n_iter)
-    swar_ns = _test_rate("swar", n_iter=n_iter)
-    # production: 1 queen-VREG per eval; swar: 2 queens per eval
-    out["production_test_ns_per_queen_vreg"] = round(prod_ns, 3)
-    out["swar_test_ns_per_queen_vreg"] = round(swar_ns / 2, 3)
-    out["swar_vs_production"] = round((swar_ns / 2) / prod_ns, 3)
+    # Sweep exposed ILP until the rate saturates: the production sweep's
+    # 9-target x 8-row blocks are throughput-bound, so the saturated rate
+    # is the right model (k=4 is latency-stalled ~2x above it).
+    ks = (4, 16) if args.quick else (2, 4, 8, 16, 32)
+    curves = {kind: {k: _test_rate(kind, n_iter=n_iter, k=k) for k in ks}
+              for kind in ("production", "nomul", "swar")}
+    # production/nomul: 1 queen per eval; swar packs 2 queens per eval
+    per_queen = {"production": 1, "nomul": 1, "swar": 2}
+    for kind, curve in curves.items():
+        out[f"{kind}_ns_per_queen_vreg_by_ilp"] = {
+            str(k): round(v / per_queen[kind], 3) for k, v in curve.items()}
+        out[f"{kind}_test_ns_per_queen_vreg"] = round(
+            min(curve.values()) / per_queen[kind], 3)
+    prod_ns = out["production_test_ns_per_queen_vreg"]
+    out["swar_vs_production"] = round(
+        out["swar_test_ns_per_queen_vreg"] / prod_ns, 3)
+    out["nomul_vs_production"] = round(
+        out["nomul_test_ns_per_queen_vreg"] / prod_ns, 3)
 
-    # Predicted b coefficient: per step the fused sweep evaluates 9 targets
-    # per 8 steps (8 shared candidates + 1 old-side) against every queen;
-    # a 2048-chain block is 2 VREG rows per queen.
+    out["int32_add_ns_per_vreg_op"] = round(_op_rate("add"), 4)
+    out["int32_mul_ns_per_vreg_op"] = round(_op_rate("mul"), 4)
+    out["mul_vs_add"] = round(out["int32_mul_ns_per_vreg_op"]
+                              / out["int32_add_ns_per_vreg_op"], 2)
+
+    # Harness-replay b prediction: per step the fused sweep evaluates 9
+    # targets per 8 steps (8 shared candidates + 1 old-side) against every
+    # queen; a 2048-chain block is 2 VREG rows per queen.  NOTE this is an
+    # upper bound, not a model: even the pure-add loop above only reaches
+    # ~1 ns/VREG-op (latency-bound harness), while the production sweep's
+    # fitted coefficient implies ~0.28 — the sweep out-schedules any
+    # straight-line synthetic replay.
     pred_b_us = prod_ns * (9 / 8) * 2 / 1e3
-    out["predicted_b_us_per_queen"] = round(pred_b_us, 4)
+    out["harness_replay_b_us_per_queen"] = round(pred_b_us, 4)
+    # Issue-bound decomposition: the production test is 22 static int32
+    # element-ops per queen per target (full3d_shared.py:189-206 incl. the
+    # accumulate), so one queen-step costs 22 * 9/8 * 2 = 49.5 VREG-ops at
+    # a 2048-chain block.
+    ops_per_queen_step = 22 * (9 / 8) * 2
+    out["sweep_vreg_ops_per_queen_step"] = ops_per_queen_step
     cap_path = os.path.join(os.path.dirname(args.json),
                             "probe_full3d_cap.json")
     if os.path.exists(cap_path):
         with open(cap_path) as f:
             fitted = json.load(f)["fit"]["b_us_per_queen"]
         out["fitted_b_us_per_queen"] = fitted
-        out["predicted_over_fitted"] = round(pred_b_us / fitted, 3)
+        out["harness_replay_over_fitted"] = round(pred_b_us / fitted, 3)
+        implied = fitted * 1e3 / ops_per_queen_step
+        out["implied_sustained_ns_per_vreg_op"] = round(implied, 4)
+        # Public v5e VPU: 4 ALUs x (8,128) lanes at 940 MHz -> 0.266 ns
+        # per int32 VREG-op issue bound.
+        bound = 1 / (4 * 0.94)
+        out["vpu_issue_bound_ns_per_vreg_op"] = round(bound, 4)
+        out["sweep_fraction_of_issue_bound"] = round(bound / implied, 3)
 
     d_us, o_us = mxu_onehot_rate(Q=64 if args.quick else 256,
                                  C=2048, L=32)
