@@ -237,12 +237,12 @@ def _wire_floors(tmp_path, monkeypatch, energies):
     per call (fresh, confirm, refine0, refine1, ...)."""
     from tools import full3d_floors_campaign as camp
 
-    monkeypatch.setattr(camp, "OUTDIR", str(tmp_path))
+    monkeypatch.setattr(camp, "_outdir", lambda mcmc_type: str(tmp_path))
     calls = []
 
-    def fake_search(n, seed, b0, b1, resume_from=None):
+    def fake_search(n, seed, b0, b1, mcmc_type, outdir, resume_from=None):
         e = energies[len(calls)]
-        calls.append((seed, b0, b1, resume_from))
+        calls.append((seed, b0, b1, resume_from, mcmc_type))
         path = os.path.join(str(tmp_path), "competition_results",
                             f"best_heights_{n}_{len(calls):04d}.txt")
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -280,3 +280,44 @@ def test_floors_campaign_resumes_from_banked_searches(tmp_path, monkeypatch):
     assert calls2 == []
     log = json.load(open(os.path.join(str(tmp_path), "campaign.json")))
     assert log["N12"]["floor"] == 29
+
+
+def test_floors_campaign_board_refine_from(tmp_path, monkeypatch):
+    # --refine-from anchors on the committed board's ORACLE energy (30 for
+    # the N=14 board-floor board), skips fresh/confirm, and every search
+    # runs the board-constrained chain.
+    camp, calls = _wire_floors(tmp_path, monkeypatch, [29, 29])
+    prior = os.path.join(str(tmp_path), "committed_14.txt")
+    with open(prior, "w") as f:
+        f.write("0,0,0\n")
+    import tools.verify_board as vb
+    monkeypatch.setattr(vb, "verify", lambda p: {
+        "distinct_cells": True, "oracle_energy": 30})
+    camp.main(["--sizes", "14", "--mcmc-type", "board",
+               "--refine-from", prior])
+    log = json.load(open(os.path.join(str(tmp_path), "campaign.json")))
+    kinds = [s["kind"] for s in log["N14"]["searches"]]
+    assert kinds == ["prior", "refine0", "refine1"]
+    assert log["N14"]["floor"] == 29
+    # first refinement warm-starts from the committed board itself,
+    # the second from the improved refine0 export; all run board mode
+    assert calls[0][3] == prior and calls[0][4] == "board"
+    assert calls[1][3].endswith("0001.txt") and calls[1][4] == "board"
+
+
+def test_floors_campaign_refine_from_held_floor(tmp_path, monkeypatch):
+    # a refinement that cannot improve the prior stops after one pass and
+    # the floor stays the prior's energy
+    camp, calls = _wire_floors(tmp_path, monkeypatch, [62])
+    prior = os.path.join(str(tmp_path), "committed_15.txt")
+    with open(prior, "w") as f:
+        f.write("0,0,0\n")
+    import tools.verify_board as vb
+    monkeypatch.setattr(vb, "verify", lambda p: {
+        "distinct_cells": True, "oracle_energy": 62})
+    camp.main(["--sizes", "15", "--mcmc-type", "board",
+               "--refine-from", prior])
+    log = json.load(open(os.path.join(str(tmp_path), "campaign.json")))
+    assert len(calls) == 1  # one stalled refinement, then stop
+    assert log["N15"]["floor"] == 62
+    assert log["N15"]["floor_board"] == "committed_15.txt"

@@ -1,8 +1,7 @@
 #!/usr/bin/env python
-"""Regenerate the unconstrained (full_3d) minimum-energy floors with the
-round-3 protocol, exporting every winning board under
-``artifacts/full3d_floors/competition_results/`` (the directory
-``artifacts/RESULTS.md`` cites — VERDICT r3 Missing #1).
+"""Regenerate the minimum-energy floors with the round-3 protocol, exporting
+every winning board under ``artifacts/{full3d,board}_floors/competition_results/``
+(the directories ``artifacts/RESULTS.md`` cites — VERDICT r3 Missing #1).
 
 Protocol per size (RESULTS.md "Unconstrained (full_3d) floors..."):
 16-level tempering ladder, 65536 chains x 8M steps (~5.2e11 proposals),
@@ -11,10 +10,20 @@ independent fresh-seed confirmation (4242), then colder (beta 2->10)
 warm-started refinements from the best board so far until the floor stops
 moving (at most ``--max-refines``).  Every exported board is re-scored with
 the independent pairwise oracle before being trusted; the campaign log is
-flushed to ``artifacts/full3d_floors/campaign.json`` after every search so
-a killed run loses nothing.
+flushed to ``<outdir>/campaign.json`` after every search so a killed run
+loses nothing.
 
-Run on the real TPU:  python -m tools.full3d_floors_campaign [--sizes 12 14 15]
+``--mcmc-type board`` runs the same protocol on the board-constrained chain
+(the reference's competition subspace, ``/root/reference/competition.py``);
+``--refine-from BOARD.txt`` skips the fresh/confirm searches and runs only
+the colder warm-started refinement passes from an existing committed board
+(VERDICT r3 item 8: harden single-protocol floors to the refinement
+standard, or improve them).
+
+Run on the real TPU:
+    python -m tools.full3d_floors_campaign [--sizes 12 14 15]
+    python -m tools.full3d_floors_campaign --mcmc-type board --sizes 14 \\
+        --refine-from artifacts/competition_results/best_heights_14_*.txt
 """
 
 from __future__ import annotations
@@ -25,37 +34,41 @@ import json
 import os
 import time
 
-OUTDIR = os.path.join("artifacts", "full3d_floors")
 CHAINS = 65536
 N_STEPS = 8_000_000
 STRIDE = 62_500
 LADDER = 16
 
 
-def _newest_export():
-    paths = glob.glob(os.path.join(OUTDIR, "competition_results", "*.txt"))
+def _outdir(mcmc_type: str) -> str:
+    return os.path.join(
+        "artifacts", "full3d_floors" if mcmc_type == "full_3d" else "board_floors")
+
+
+def _newest_export(outdir):
+    paths = glob.glob(os.path.join(outdir, "competition_results", "*.txt"))
     return max(paths, key=os.path.getmtime) if paths else None
 
 
-def _search(n, seed, beta_start, beta_end, resume_from=None):
+def _search(n, seed, beta_start, beta_end, mcmc_type, outdir, resume_from=None):
     """One tempered search via the competition CLI; returns (energy, path)."""
     from mcqueens.cli import competition
     from tools.verify_board import verify
 
     argv = [
-        "--n", str(n), "--mcmc-type", "full_3d",
+        "--n", str(n), "--mcmc-type", mcmc_type,
         "--n-runs", str(CHAINS), "--n-steps", str(N_STEPS),
         "--kernel", "pallas_shared", "--tempering", str(LADDER),
         "--history-stride", str(STRIDE),
         "--beta-start", str(beta_start), "--beta-end", str(beta_end),
-        "--seed", str(seed), "--outdir", OUTDIR,
+        "--seed", str(seed), "--outdir", outdir,
     ]
     if resume_from:
         argv += ["--resume-from", resume_from]
-    before = _newest_export()
+    before = _newest_export(outdir)
     t0 = time.time()
     competition.main(argv)
-    path = _newest_export()
+    path = _newest_export(outdir)
     assert path and path != before, "search exported no board"
     rec = verify(path)
     assert rec["distinct_cells"], path
@@ -66,13 +79,22 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[12, 14, 15])
     ap.add_argument("--max-refines", type=int, default=3)
+    ap.add_argument("--mcmc-type", choices=["full_3d", "board"],
+                    default="full_3d")
+    ap.add_argument("--refine-from", default=None, metavar="BOARD_TXT",
+                    help="skip fresh/confirm; run only colder warm-started "
+                         "refinements from this committed board (one size)")
     args = ap.parse_args(argv)
+    if args.refine_from and len(args.sizes) != 1:
+        ap.error("--refine-from requires exactly one --sizes value")
 
     from mcqueens.utils import cache
+    from tools.verify_board import verify
 
     cache.enable()
-    os.makedirs(os.path.join(OUTDIR, "competition_results"), exist_ok=True)
-    log_path = os.path.join(OUTDIR, "campaign.json")
+    outdir = _outdir(args.mcmc_type)
+    os.makedirs(os.path.join(outdir, "competition_results"), exist_ok=True)
+    log_path = os.path.join(outdir, "campaign.json")
     log = json.load(open(log_path)) if os.path.exists(log_path) else {}
 
     def flush():
@@ -87,7 +109,8 @@ def main(argv=None) -> int:
         def run(kind, seed, b0, b1, resume=None):
             if kind in done:
                 return
-            e, path, wall = _search(n, seed, b0, b1, resume)
+            e, path, wall = _search(n, seed, b0, b1, args.mcmc_type, outdir,
+                                    resume)
             rec["searches"].append({
                 "kind": kind, "seed": seed, "beta": [b0, b1],
                 "energy": e, "board": os.path.basename(path),
@@ -97,13 +120,31 @@ def main(argv=None) -> int:
             print(json.dumps(rec["searches"][-1]), flush=True)
             flush()
 
-        run("fresh", 31337, 0.8, 7.0)
-        run("confirm", 4242, 0.8, 7.0)
+        if args.refine_from:
+            # Anchor the record on the existing committed board (oracle-
+            # re-scored, never trusted from its filename) so refinements
+            # warm-start from it and "the floor stopped moving" is judged
+            # against its energy.
+            if "prior" not in done:
+                prior = verify(args.refine_from)
+                assert prior["distinct_cells"], args.refine_from
+                rec["searches"].append({
+                    "kind": "prior", "seed": None, "beta": None,
+                    "energy": prior["oracle_energy"],
+                    "board": os.path.abspath(args.refine_from),
+                    "wall_s": 0.0, "warm_from": None,
+                })
+                flush()
+        else:
+            run("fresh", 31337, 0.8, 7.0)
+            run("confirm", 4242, 0.8, 7.0)
 
         def best():
             s = min(rec["searches"], key=lambda s: s["energy"])
-            return s["energy"], os.path.join(OUTDIR, "competition_results",
-                                             s["board"])
+            path = s["board"]
+            if not os.path.isabs(path):
+                path = os.path.join(outdir, "competition_results", path)
+            return s["energy"], path
 
         for i in range(args.max_refines):
             e_before, board = best()
@@ -114,8 +155,8 @@ def main(argv=None) -> int:
         rec["floor"] = best()[0]
         rec["floor_board"] = os.path.basename(best()[1])
         flush()
-        print(f"N={n} full_3d floor: {rec['floor']} ({rec['floor_board']})",
-              flush=True)
+        print(f"N={n} {args.mcmc_type} floor: {rec['floor']} "
+              f"({rec['floor_board']})", flush=True)
     return 0
 
 
