@@ -206,6 +206,23 @@ def test_frontier_unbudgeted_walks_to_the_edge(tmp_path, monkeypatch):
     assert banked[3]["lower_bound"] == 8
 
 
+def test_frontier_walkup_gallops_and_bisects_wide_gaps(tmp_path, monkeypatch):
+    # Descent overshoots (miss 20 at Q=30 -> jump to 20); the walk-up must
+    # NOT probe every Q in between: gallop 21, 23, 27, then bisect 28.
+    energy = {30: 20, 20: 0, 21: 0, 23: 0, 27: 0, 28: 2}
+    probed, _ = _wire_frontier(tmp_path, monkeypatch, energy)
+    qmax_frontier.main(["--n", "12", "--start", "30"])
+    out = json.load(open(os.path.join(str(tmp_path),
+                                      "qmax_frontier_N12.json")))
+    # 30 probes twice (escalation), then descent cert at 20, gallop, bisect
+    assert probed == [30, 30, 20, 21, 23, 27, 28, 28]
+    for skipped in (22, 24, 25, 26, 29):
+        assert skipped not in probed
+    assert out["complete"] is True
+    assert out["lower_bound"] == 27
+    assert out["Q28"]["min_energy"] == 2
+
+
 def test_warm_states_structure(tmp_path, monkeypatch):
     # Warm starts = the archived Q-1 certificate plus ONE extra queen on a
     # per-chain random EMPTY cell: every chain's cells stay distinct and

@@ -116,14 +116,37 @@ def main(argv=None):
         smallest_miss = Q
         Q -= max(2, e // 2)
     if best_zero is not None:  # tighten: walk up to the edge
-        for Q in range(best_zero + 1, smallest_miss):
+        # A zero-attack placement at Q yields one at every Q' < Q (delete
+        # queens), so the walk-up is a monotone-predicate search: gallop
+        # (+1, +2, +4, ...) to the first cold miss, then bisect the last
+        # gap.  The early campaigns walked +1 per probe, which cost ~20
+        # full probes when the descent overshot (N=21's first certificate
+        # landed 19 below its cold edge); cold misses are weak evidence
+        # anyway — the warm push re-attacks them — so O(log gap) cold
+        # probes are all the edge is worth.
+        lo, hi = best_zero, smallest_miss
+        step = 1
+        while lo + step < hi:  # gallop
             if not budget_left():
                 complete = False
                 break
-            if probe(Q) != 0:
+            if probe(lo + step) == 0:
+                lo = best_zero = lo + step
+                flush(best_zero, False)
+                step *= 2
+            else:
+                hi = lo + step
                 break
-            best_zero = Q
-            flush(best_zero, False)
+        while complete and lo + 1 < hi:  # bisect the remaining gap
+            if not budget_left():
+                complete = False
+                break
+            mid = (lo + hi) // 2
+            if probe(mid) == 0:
+                lo = best_zero = mid
+                flush(best_zero, False)
+            else:
+                hi = mid
     flush(best_zero, complete)
     misses = sorted(int(k[1:]) for k, v in out.items()
                     if k.startswith("Q") and v["min_energy"] > 0)
