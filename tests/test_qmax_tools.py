@@ -206,6 +206,48 @@ def test_frontier_unbudgeted_walks_to_the_edge(tmp_path, monkeypatch):
     assert banked[3]["lower_bound"] == 8
 
 
+def test_frontier_resumes_from_banked_json(tmp_path, monkeypatch):
+    # A killed run banked the descent (miss at 10, certificate at 8).  The
+    # re-run must replay those records WITHOUT searching and continue the
+    # walk-up where it died — here one real probe at 9 closes the edge.
+    banked = {
+        "Q10": {"min_energy": 4, "proposals": 1, "wall_s": 1.0},
+        "Q8": {"min_energy": 0, "proposals": 1, "wall_s": 1.0,
+               "board": "qmax_N12_Q8.txt"},
+        "lower_bound": 8, "complete": False,
+    }
+    json_path = os.path.join(str(tmp_path), "qmax_frontier_N12.json")
+    with open(json_path, "w") as f:
+        json.dump(banked, f)
+    probed, _ = _wire_frontier(tmp_path, monkeypatch, {9: 0})
+    qmax_frontier.main(["--n", "12", "--start", "10"])
+    assert probed == [9]  # banked 10 and 8 never re-searched
+    out = json.load(open(json_path))
+    assert out["lower_bound"] == 9 and out["complete"] is True
+    assert out["Q10"]["min_energy"] == 4  # banked evidence preserved
+
+
+def test_frontier_resume_never_lowers_a_pushed_bound(tmp_path, monkeypatch):
+    # Warm pushes raised the banked bound past every cold certificate; a
+    # frontier re-run (cold probes only) must keep the pushed bound and the
+    # push record itself through its flushes.
+    banked = {
+        "Q8": {"min_energy": 0, "proposals": 1, "wall_s": 1.0},
+        "Q12_push_warm": {"min_energy": 0, "proposals": 1, "wall_s": 1.0,
+                          "protocol": "tempered_push_warm", "seed": 31337},
+        "lower_bound": 12, "complete": True,
+    }
+    json_path = os.path.join(str(tmp_path), "qmax_frontier_N12.json")
+    with open(json_path, "w") as f:
+        json.dump(banked, f)
+    probed, _ = _wire_frontier(tmp_path, monkeypatch, {9: 2})
+    qmax_frontier.main(["--n", "12", "--start", "8"])
+    assert probed == [9, 9]  # one real (escalated) cold probe at the edge
+    out = json.load(open(json_path))
+    assert out["lower_bound"] == 12  # pushed bound survives cold flushes
+    assert "Q12_push_warm" in out   # push record survives too
+
+
 def test_frontier_walkup_gallops_and_bisects_wide_gaps(tmp_path, monkeypatch):
     # Descent overshoots (miss 20 at Q=30 -> jump to 20); the walk-up must
     # NOT probe every Q in between: gallop 21, 23, 27, then bisect 28.
