@@ -117,6 +117,70 @@ def test_campaign_skip_probes_reuses_bound(tmp_path, monkeypatch):
     assert calls == [("push", 12, 31337)]
 
 
+def test_campaign_forwards_checkpoint_dir(tmp_path, monkeypatch):
+    # Default on: every push gets OUTDIR/.ckpt so a hung/killed push
+    # resumes mid-search; '' disables the forwarding entirely.
+    calls, path = _wire(tmp_path, monkeypatch, edge_by_seed={31337: 12})
+    argvs = []
+    real_push = qmax_campaign.qmax_push.main
+
+    def spy_push(argv):
+        argvs.append(list(argv))
+        real_push(argv)
+
+    monkeypatch.setattr(qmax_campaign.qmax_push, "main", spy_push)
+    qmax_campaign.main(["--n", "12", "--seed", "31337"])
+    expected = os.path.join(str(tmp_path), ".ckpt")
+    for argv in argvs:
+        assert argv[argv.index("--checkpoint-dir") + 1] == expected
+
+    argvs.clear()
+    qmax_campaign.main(["--n", "12", "--seed", "31337",
+                        "--checkpoint-dir", ""])
+    assert argvs and all("--checkpoint-dir" not in a for a in argvs)
+
+
+def test_push_checkpoints_and_clears_on_success(tmp_path, monkeypatch):
+    # push() hands run_tempered a Checkpointer rooted at checkpoint_dir
+    # (tagged by N/Q/seed/protocol so campaigns never cross-restore) and
+    # clears it once the push completes.
+    from mcqueens.utils.checkpoint import Checkpointer
+    seen = {}
+
+    def fake_run_tempered(seeds, spec, ladder, **kw):
+        ck = kw["checkpointer"]
+        seen["ckpt"] = ck
+        # simulate a mid-run save so clear() has something real to remove
+        ck._last_save_t = None
+        np.save(open(ck.chunk_path(0, "fp"), "wb"), np.zeros(1))
+        open(ck.path, "wb").write(b"x")
+        return {"best_energy": np.asarray([3]),
+                "best_state": np.zeros((1, 5, 3), np.int64),
+                "proposals": 7}
+
+    monkeypatch.setattr(qmax_push.tempering_mod, "run_tempered",
+                        fake_run_tempered)
+    monkeypatch.setattr(qmax_push, "full3d_energy", lambda a: 3)
+    e, best, wall, proposals = qmax_push.push(
+        6, 5, seed=9, warm=False, checkpoint_dir=str(tmp_path))
+    ck = seen["ckpt"]
+    assert isinstance(ck, Checkpointer)
+    assert ck.directory == str(tmp_path)
+    assert ck.tag == "push_N6_Q5_s9"
+    assert ck.min_interval_s > 0   # tunnel pulls are ~30 ms/MB: rate-limit
+    assert not os.path.exists(ck.path)
+    assert not os.path.exists(ck.chunk_path(0, "fp"))
+    # without a dir, no checkpointer is constructed at all
+    def no_ckpt_run(seeds, spec, ladder, **kw):
+        assert kw["checkpointer"] is None
+        return {"best_energy": np.asarray([3]),
+                "best_state": np.zeros((1, 5, 3), np.int64),
+                "proposals": 7}
+
+    monkeypatch.setattr(qmax_push.tempering_mod, "run_tempered", no_ckpt_run)
+    qmax_push.push(6, 5, seed=9, warm=False, checkpoint_dir=None)
+
+
 def test_campaign_errors_when_probes_find_nothing(tmp_path, monkeypatch):
     calls, path = _wire(tmp_path, monkeypatch, edge_by_seed={})
 

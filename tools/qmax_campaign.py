@@ -60,6 +60,11 @@ def main(argv=None):
                     help="wall-clock budget for the probe phase "
                          "(forwarded to tools.qmax_frontier; the warm walk "
                          "then starts from whatever the probes banked)")
+    ap.add_argument("--checkpoint-dir",
+                    default=os.path.join(OUTDIR, ".ckpt"),
+                    help="mid-push tempering checkpoints (default on: a "
+                         "wedged tunnel RPC kills pushes, and a full-budget "
+                         "push is ~20 min of TPU time); pass '' to disable")
     args = ap.parse_args(argv)
     N = args.n
     if math.gcd(N, 210) == 1:
@@ -74,21 +79,25 @@ def main(argv=None):
     if bound is None:
         raise SystemExit(f"descent probes found no certificate for N={N}")
 
+    ckpt_argv = (["--checkpoint-dir", args.checkpoint_dir]
+                 if args.checkpoint_dir else [])
+
     # Warm walk from one past the certified bound until a full-budget miss.
     qmax_push.main(["--n", str(N), "--start", str(bound + 1),
-                    "--seed", str(args.seed), "--warm-start"])
+                    "--seed", str(args.seed), "--warm-start"] + ckpt_argv)
     bound = _load(N)["lower_bound"]
 
     while args.confirm_seed is not None:
         qmax_push.main(["--n", str(N), "--start", str(bound + 1),
-                        "--seed", str(args.confirm_seed), "--warm-start"])
+                        "--seed", str(args.confirm_seed), "--warm-start"]
+                       + ckpt_argv)
         new_bound = _load(N)["lower_bound"]
         if new_bound == bound:
             break  # the miss held under the second seed: two-seed evidence
         # The second seed broke the edge — continue the primary walk.
         bound = new_bound
         qmax_push.main(["--n", str(N), "--start", str(bound + 1),
-                        "--seed", str(args.seed), "--warm-start"])
+                        "--seed", str(args.seed), "--warm-start"] + ckpt_argv)
         bound = _load(N)["lower_bound"]
 
     # The campaign's end state IS the frontier closure: the walk ended on a

@@ -31,6 +31,7 @@ from mcqueens.chain.spec import ChainSpec
 from mcqueens.core.schedules import build_schedule
 from mcqueens.search import tempering as tempering_mod
 from mcqueens.utils import cache
+from mcqueens.utils.checkpoint import Checkpointer
 from tools.qmax import OUTDIR
 from tests._oracle import full3d_energy
 
@@ -62,7 +63,7 @@ def warm_states(N, Q, chains, seed):
     return np.concatenate([states, extra[:, None, :]], axis=1)
 
 
-def push(N, Q, seed=31337, warm=False):
+def push(N, Q, seed=31337, warm=False, checkpoint_dir=None):
     spec = ChainSpec(
         N=N, n_steps=N_STEPS,
         schedule=build_schedule("constant", N_STEPS, beta_const=1.0),
@@ -71,12 +72,23 @@ def push(N, Q, seed=31337, warm=False):
     )
     ladder = tempering_mod.geometric_ladder(*BETAS, LADDER_L)
     init = warm_states(N, Q, CHAINS, seed) if warm else None
+    ckpt = None
+    if checkpoint_dir is not None:
+        # A wedged tunnel RPC can hang a push for good (observed at
+        # N=22/Q=330: zero CPU for 25 min mid-round); with a checkpointer
+        # the kill-and-relaunch loses at most min_interval_s of search.
+        # The 65536-chain carry is ~0.5-1 GB and device->host pulls cost
+        # ~30 ms/MB through the tunnel, so cap the cadence at 5 min.
+        tag = f"push_N{N}_Q{Q}_s{seed}" + ("_warm" if warm else "")
+        ckpt = Checkpointer(checkpoint_dir, tag=tag, min_interval_s=300.0)
     t0 = time.time()
     out = tempering_mod.run_tempered(
         seed + np.arange(CHAINS, dtype=np.uint32), spec, ladder,
         swap_seed=seed, verbose=True, initial_states=init,
-        stop_at_energy=0,
+        stop_at_energy=0, checkpointer=ckpt,
     )
+    if ckpt is not None:
+        ckpt.clear()  # done: a stale carry must not shadow the next campaign
     r = int(np.argmin(out["best_energy"]))
     e = int(out["best_energy"][r])
     best = np.asarray(out["best_state"][r], np.int64)
@@ -92,6 +104,10 @@ def main(argv=None):
     ap.add_argument("--warm-start", action="store_true",
                     help="start every chain from the archived Q-1 "
                          "certificate plus one random extra queen")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="persist the tempering carry here (~5 min cadence) "
+                         "so a killed/hung push resumes mid-search instead "
+                         "of restarting the 5.2e11-proposal budget")
     args = ap.parse_args(argv)
     N = args.n
     cache.enable()
@@ -101,7 +117,8 @@ def main(argv=None):
     out = json.load(open(path)) if os.path.exists(path) else {}
     Q = args.start
     while Q < N * N:
-        e, best, wall, proposals = push(N, Q, args.seed, warm=args.warm_start)
+        e, best, wall, proposals = push(N, Q, args.seed, warm=args.warm_start,
+                                        checkpoint_dir=args.checkpoint_dir)
         rec = {"min_energy": e, "proposals": proposals,
                "wall_s": round(wall, 1), "protocol": protocol,
                "seed": args.seed}
