@@ -54,7 +54,19 @@ def _wire(tmp_path, monkeypatch, edge_by_seed):
         q = start
         while q <= edge_by_seed[seed]:
             out["lower_bound"] = max(out.get("lower_bound") or 0, q)
+            edge = out.get("edge")
+            if edge is not None and q >= edge["q"]:
+                out.setdefault("edge_history", []).append(edge)
+                del out["edge"]
+            out.pop("complete", None)
             q += 1
+        # full-budget warm miss at q, recorded like tools.qmax_push.main
+        key = f"Q{q}_push_warm"
+        if key in out and out[key].get("seed", 31337) != seed:
+            key = f"{key}_s{seed}"
+        out[key] = {"min_energy": 1, "wall_s": 1.0,
+                    "proposals": qmax_campaign.FULL_BUDGET,
+                    "protocol": "tempered_push_warm", "seed": seed}
         with open(path(n), "w") as f:
             json.dump(out, f)
 
@@ -80,9 +92,12 @@ def test_campaign_walk_and_two_seed_confirmation(tmp_path, monkeypatch):
     ]
     out = json.load(open(path(12)))
     assert out["lower_bound"] == 13
-    # The finished campaign closes the frontier even when the probe phase
-    # was budget-stopped (VERDICT r3 demand: complete + an edge entry).
-    assert out["complete"] is True
+    # Closure is an explicit edge record derived from the banked misses —
+    # both seeds missed Q=14 at the full budget (VERDICT r4: never a bare
+    # boolean a probe-phase stop could also write).
+    assert out["edge"] == {"q": 14, "seeds": [4242, 31337],
+                           "budget_proposals": qmax_campaign.FULL_BUDGET}
+    assert "complete" not in out
 
 
 def test_campaign_without_confirm_stops_at_first_miss(tmp_path, monkeypatch):
@@ -91,7 +106,9 @@ def test_campaign_without_confirm_stops_at_first_miss(tmp_path, monkeypatch):
     assert calls == [("frontier", 12), ("push", 11, 31337)]
     out = json.load(open(path(12)))
     assert out["lower_bound"] == 12
-    assert out["complete"] is True
+    assert out["edge"] == {"q": 13, "seeds": [31337],
+                           "budget_proposals": qmax_campaign.FULL_BUDGET}
+    assert "complete" not in out
 
 
 def test_campaign_forwards_probe_budget(tmp_path, monkeypatch):
@@ -242,7 +259,7 @@ def test_frontier_budget_stops_walk_and_flushes(tmp_path, monkeypatch):
     qmax_frontier.main(["--n", "12", "--start", "10", "--budget-s", "100"])
     out = json.load(open(os.path.join(str(tmp_path),
                                       "qmax_frontier_N12.json")))
-    assert out["complete"] is False
+    assert out["probes_complete"] is False
     assert out["lower_bound"] == max(q for q in probed if energy[q] == 0)
     assert 14 not in probed  # the edge probe never started
     # Every earlier probe was already banked on disk when the next one
@@ -261,7 +278,7 @@ def test_frontier_unbudgeted_walks_to_the_edge(tmp_path, monkeypatch):
     out = json.load(open(os.path.join(str(tmp_path),
                                       "qmax_frontier_N12.json")))
     assert probed == [10, 10, 8, 9]  # the miss at 10 escalates (2nd search)
-    assert out["complete"] is True
+    assert out["probes_complete"] is True
     assert out["lower_bound"] == 9
     assert out["Q10"]["min_energy"] == 4
     # Regression (ADVICE r3): the flush right after a zero-energy descent
@@ -278,7 +295,7 @@ def test_frontier_resumes_from_banked_json(tmp_path, monkeypatch):
         "Q10": {"min_energy": 4, "proposals": 1, "wall_s": 1.0},
         "Q8": {"min_energy": 0, "proposals": 1, "wall_s": 1.0,
                "board": "qmax_N12_Q8.txt"},
-        "lower_bound": 8, "complete": False,
+        "lower_bound": 8, "complete": False,  # legacy conflated flag
     }
     json_path = os.path.join(str(tmp_path), "qmax_frontier_N12.json")
     with open(json_path, "w") as f:
@@ -287,7 +304,8 @@ def test_frontier_resumes_from_banked_json(tmp_path, monkeypatch):
     qmax_frontier.main(["--n", "12", "--start", "10"])
     assert probed == [9]  # banked 10 and 8 never re-searched
     out = json.load(open(json_path))
-    assert out["lower_bound"] == 9 and out["complete"] is True
+    assert out["lower_bound"] == 9 and out["probes_complete"] is True
+    assert "complete" not in out  # the legacy flag is retired, not rewritten
     assert out["Q10"]["min_energy"] == 4  # banked evidence preserved
 
 
@@ -299,7 +317,8 @@ def test_frontier_resume_never_lowers_a_pushed_bound(tmp_path, monkeypatch):
         "Q8": {"min_energy": 0, "proposals": 1, "wall_s": 1.0},
         "Q12_push_warm": {"min_energy": 0, "proposals": 1, "wall_s": 1.0,
                           "protocol": "tempered_push_warm", "seed": 31337},
-        "lower_bound": 12, "complete": True,
+        "lower_bound": 12, "edge": {"q": 13, "seeds": [31337],
+                                    "budget_proposals": 524288000000},
     }
     json_path = os.path.join(str(tmp_path), "qmax_frontier_N12.json")
     with open(json_path, "w") as f:
@@ -310,6 +329,7 @@ def test_frontier_resume_never_lowers_a_pushed_bound(tmp_path, monkeypatch):
     out = json.load(open(json_path))
     assert out["lower_bound"] == 12  # pushed bound survives cold flushes
     assert "Q12_push_warm" in out   # push record survives too
+    assert out["edge"] == banked["edge"]  # cold probes never touch closure
 
 
 def test_frontier_walkup_gallops_and_bisects_wide_gaps(tmp_path, monkeypatch):
@@ -324,9 +344,86 @@ def test_frontier_walkup_gallops_and_bisects_wide_gaps(tmp_path, monkeypatch):
     assert probed == [30, 30, 20, 21, 23, 27, 28, 28]
     for skipped in (22, 24, 25, 26, 29):
         assert skipped not in probed
-    assert out["complete"] is True
+    assert out["probes_complete"] is True
     assert out["lower_bound"] == 27
     assert out["Q28"]["min_energy"] == 2
+
+
+def test_push_past_closed_edge_reopens_it(tmp_path, monkeypatch):
+    # VERDICT r4 demand: a warm push that certifies at (or past) a recorded
+    # edge must leave the JSON UN-closed — the old shared `complete` flag
+    # survived exactly this walk at N=22 and lied about the frontier.
+    monkeypatch.setattr(qmax_push, "OUTDIR", str(tmp_path))
+    json_path = os.path.join(str(tmp_path), "qmax_frontier_N12.json")
+    with open(json_path, "w") as f:
+        json.dump({"lower_bound": 12, "complete": True,
+                   "edge": {"q": 13, "seeds": [31337],
+                            "budget_proposals": 524288000000}}, f)
+    edge_q = 14  # certs at 13, 14; miss at 15
+
+    def fake_push(N, Q, seed, warm, checkpoint_dir=None):
+        e = 0 if Q <= edge_q else 1
+        return e, np.zeros((Q, 3), np.int64), 1.0, qmax_campaign.FULL_BUDGET
+
+    monkeypatch.setattr(qmax_push, "push", fake_push)
+    qmax_push.main(["--n", "12", "--start", "13", "--seed", "777",
+                    "--warm-start"])
+    out = json.load(open(json_path))
+    assert out["lower_bound"] == 14
+    assert "edge" not in out        # the certified walk refuted the closure
+    assert "complete" not in out    # and retired the legacy flag
+    assert out["edge_history"][0]["q"] == 13  # refutation stays auditable
+    # the new miss at 15 is banked as full-budget warm evidence, so a
+    # campaign can re-close the size from it
+    assert qmax_campaign.derive_edge(out, 14) == {
+        "q": 15, "seeds": [777],
+        "budget_proposals": qmax_campaign.FULL_BUDGET}
+
+
+def test_campaign_stays_open_without_full_budget_miss(tmp_path, monkeypatch):
+    # An early-stopped (below-budget) miss is NOT edge evidence: the
+    # campaign must refuse to write an edge record.
+    calls, path = _wire(tmp_path, monkeypatch, edge_by_seed={31337: 12})
+
+    def truncated_push(argv):
+        n = int(argv[argv.index("--n") + 1])
+        out = json.load(open(path(n)))
+        out["lower_bound"] = 12
+        out["Q13_push_warm"] = {
+            "min_energy": 1, "proposals": qmax_campaign.FULL_BUDGET // 2,
+            "protocol": "tempered_push_warm", "seed": 31337}
+        with open(path(n), "w") as f:
+            json.dump(out, f)
+
+    monkeypatch.setattr(qmax_campaign.qmax_push, "main", truncated_push)
+    qmax_campaign.main(["--n", "12", "--seed", "31337"])
+    out = json.load(open(path(12)))
+    assert "edge" not in out and "complete" not in out
+
+
+def test_derive_edge_filters_non_evidence():
+    full = qmax_campaign.FULL_BUDGET
+    out = {
+        "lower_bound": 12,
+        # qualifying: warm, full budget, miss, at Q=13
+        "Q13_push_warm": {"min_energy": 1, "proposals": full,
+                          "protocol": "tempered_push_warm", "seed": 31337},
+        "Q13_push_warm_s4242": {"min_energy": 1, "proposals": full,
+                                "protocol": "tempered_push_warm",
+                                "seed": 4242},
+        # non-evidence: cold push, below budget, certificate, wrong Q
+        "Q13_push": {"min_energy": 2, "proposals": full,
+                     "protocol": "tempered_push", "seed": 1},
+        "Q13_push_warm_s9": {"min_energy": 1, "proposals": full - 1,
+                             "protocol": "tempered_push_warm", "seed": 9},
+        "Q12_push_warm": {"min_energy": 0, "proposals": full,
+                          "protocol": "tempered_push_warm", "seed": 31337},
+        "Q14_push_warm": {"min_energy": 3, "proposals": full,
+                          "protocol": "tempered_push_warm", "seed": 31337},
+    }
+    assert qmax_campaign.derive_edge(out, 12) == {
+        "q": 13, "seeds": [4242, 31337], "budget_proposals": full}
+    assert qmax_campaign.derive_edge({"Q13": {"min_energy": 1}}, 12) is None
 
 
 def test_warm_states_structure(tmp_path, monkeypatch):

@@ -31,9 +31,15 @@ import argparse
 import json
 import math
 import os
+import re
 
 from tools import qmax_frontier, qmax_push
 from tools.qmax import OUTDIR
+
+# One warm push's proposal budget (65536 chains x 8M steps); only misses at
+# the FULL budget count as edge evidence — an early-stopped or truncated
+# push proves nothing about infeasibility.
+FULL_BUDGET = qmax_push.CHAINS * qmax_push.N_STEPS
 
 
 def _frontier_path(N: int) -> str:
@@ -43,6 +49,36 @@ def _frontier_path(N: int) -> str:
 def _load(N: int) -> dict:
     with open(_frontier_path(N)) as f:
         return json.load(f)
+
+
+def derive_edge(out: dict, bound: int) -> dict | None:
+    """Edge record for ``bound + 1`` from the banked full-budget warm misses.
+
+    Scans the frontier JSON for ``tempered_push_warm`` records at
+    Q = bound + 1 with ``min_energy > 0`` and the full proposal budget, and
+    summarizes them as ``{"q", "seeds", "budget_proposals"}``.  Returns
+    ``None`` when no qualifying miss exists — in that case the size is NOT
+    edge-closed and no ``edge`` key may be written (round-4 VERDICT: N=22
+    shipped ``complete: true`` with zero miss evidence).
+    """
+    q = bound + 1
+    pat = re.compile(rf"Q{q}_push_warm(_s\d+)?$")
+    seeds, budgets = [], []
+    for key, rec in out.items():
+        if not (isinstance(rec, dict) and pat.fullmatch(key)):
+            continue
+        if rec.get("protocol") != "tempered_push_warm":
+            continue
+        if rec.get("min_energy", 0) <= 0:
+            continue
+        if rec.get("proposals", 0) < FULL_BUDGET:
+            continue
+        seeds.append(int(rec.get("seed", 31337)))
+        budgets.append(int(rec["proposals"]))
+    if not seeds:
+        return None
+    return {"q": q, "seeds": sorted(set(seeds)),
+            "budget_proposals": min(budgets)}
 
 
 def main(argv=None):
@@ -102,13 +138,23 @@ def main(argv=None):
 
     # The campaign's end state IS the frontier closure: the walk ended on a
     # full-budget warm miss (held under the confirm seed when one was
-    # given), so the probe-phase budget stop no longer leaves the size open.
+    # given).  Closure is recorded as an explicit ``edge`` record derived
+    # from the banked miss evidence itself — never a bare boolean that a
+    # probe-phase budget stop could also have written.
     out = _load(N)
-    out["complete"] = True
+    out.pop("complete", None)  # retire the legacy conflated flag
+    edge = derive_edge(out, bound)
+    if edge is None:
+        print(f"CAMPAIGN ENDED WITHOUT EDGE EVIDENCE: Q_max({N},3) >= "
+              f"{bound}, but no full-budget warm miss at Q={bound + 1} is "
+              f"banked — the size stays OPEN in {_frontier_path(N)}")
+        return
+    out["edge"] = edge
     with open(_frontier_path(N), "w") as f:
         json.dump(out, f, indent=1)
 
-    print(f"CAMPAIGN DONE: Q_max({N},3) >= {bound} "
+    print(f"CAMPAIGN DONE: Q_max({N},3) >= {bound}, edge at "
+          f"Q={edge['q']} under seeds {edge['seeds']} "
           f"(evidence in {_frontier_path(N)})")
 
 

@@ -16,23 +16,26 @@ and 15 the probe-level "edge" broke under the 5.2e11-proposal tempered
 protocol (:mod:`tools.qmax_push`), and the cold tempered edge broke again
 under its ``--warm-start`` tier (chains start from the Q-1 certificate
 plus one random queen).  The warm-start push is the authoritative prober.
-Found so far (see ``artifacts/qmax/qmax_frontier_N{N}.json``):
-N=12: certificates at Q = 132, 133; 134 stuck at 3 -> Q_max = 133.
-N=14: certificates to Q = 172 (two cold seeds missed it; warm start broke
-      it); warm 173 at 1 attack.
-N=15: certificates to Q = 182 (the cold walk broke 18 consecutive
-      "edges" to 178, warm starts relaxed 179..182); warm 183 at 1.
-N=16: certificates to Q = 179 (probes to 175, warm walk 176..179);
-      warm 180 at 1 attack.
-N=18: certificates to Q = 226 (probes to 222, warm walk 223..226);
-      warm 227 at 1 attack under TWO independent full-budget seeds.
+The authoritative inventory of campaigned sizes, bounds, and edge evidence
+is the committed artifact set itself — ``artifacts/qmax/qmax_frontier_N*.json``
+plus the oracle-verified ``qmax_N*_Q*.txt`` certificates, summarized in
+``artifacts/RESULTS.md`` (every row re-scored by ``tests/test_citations.py``)
+— not a prose list here that goes stale between campaigns.
 
 Run from the repo root on the real TPU:
 ``python -m tools.qmax_frontier [--n 12] [--start Q0] [--budget-s 1800]``.
 ``--budget-s`` bounds the campaign by wall clock: no new probe starts after
 the budget is spent, the frontier JSON is flushed after *every* probe, and a
-budget-stopped walk records ``"complete": false`` so a later run (or
+budget-stopped walk records ``"probes_complete": false`` so a later run (or
 ``tools.qmax_campaign --skip-probes``) can resume from the banked bound.
+
+``probes_complete`` means ONLY that the cold descent/walk finished within
+budget — it says nothing about the feasibility edge.  Edge closure is a
+separate ``"edge"`` record ({q, seeds, budget_proposals}) written solely by
+:mod:`tools.qmax_campaign` when full-budget warm pushes miss, and cleared by
+:mod:`tools.qmax_push` whenever a later certificate walks past it (round-4
+VERDICT: one shared ``complete`` boolean let an open N=22 edge read as
+closed).
 """
 import argparse
 import json
@@ -73,14 +76,15 @@ def main(argv=None):
         # flow then fast-forwards to wherever the last run died.
         out = json.load(open(json_path))
         prior_bound = out.pop("lower_bound", None)
-        out.pop("complete", None)
+        out.pop("probes_complete", None)
+        out.pop("complete", None)  # legacy conflated flag: never rewrite it
 
-    def flush(best_zero, complete):
+    def flush(best_zero, probes_complete):
         bound = best_zero
         if prior_bound is not None and (bound is None or prior_bound > bound):
             bound = prior_bound  # warm pushes may have raised it already
         out["lower_bound"] = bound
-        out["complete"] = complete
+        out["probes_complete"] = probes_complete
         with open(json_path, "w") as f:
             json.dump(out, f, indent=1)
         return bound

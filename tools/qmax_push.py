@@ -134,6 +134,17 @@ def main(argv=None):
                     f.write(f"{i},{j},{k}\n")
             rec["board"] = os.path.basename(bpath)
             out["lower_bound"] = max(out.get("lower_bound") or 0, Q)
+            # A certificate at (or past) a recorded edge refutes that edge:
+            # downgrade the closure so the size reads OPEN again until a
+            # fresh campaign re-closes it (the legacy `complete` boolean is
+            # retired for the same reason — it survived walks past it).
+            edge = out.get("edge")
+            if edge is not None and Q >= edge["q"]:
+                out.setdefault("edge_history", []).append(
+                    dict(edge, broken_by=f"Q{Q} certificate, seed "
+                                         f"{args.seed}"))
+                del out["edge"]
+            out.pop("complete", None)
         print(json.dumps({f"Q{Q}_push": rec}), flush=True)
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
