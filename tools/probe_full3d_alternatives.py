@@ -182,12 +182,13 @@ def _test_rate(kind: str, n_iter: int = 2048, reps: int = 4, k: int = 4):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024))(a))
     _sync(f(x))
-    t0 = time.time()
+    evals = n_iter * k * u * (S * C // 1024)  # queen-VREG evals per call
+    rates = []
     for _ in range(reps):
-        o = f(x)
-    _sync(o)
-    evals = reps * n_iter * k * u * (S * C // 1024)  # queen-VREG evals
-    return (time.time() - t0) / evals * 1e9
+        t0 = time.time()
+        _sync(f(x))
+        rates.append((time.time() - t0) / evals * 1e9)
+    return rates  # per-rep ns/queen-VREG (round-4 VERDICT: report spread)
 
 
 def _op_rate(op: str, n_iter: int = 4096, reps: int = 4, k: int = 16):
@@ -290,17 +291,39 @@ def main(argv=None) -> int:
 
     # Sweep exposed ILP until the rate saturates: the production sweep's
     # 9-target x 8-row blocks are throughput-bound, so the saturated rate
-    # is the right model (k=4 is latency-stalled ~2x above it).
+    # is the right model (k=4 is latency-stalled ~2x above it).  Each
+    # (kind, k) point is timed ``reps`` times and summarized as
+    # min/median/max; the saturated rate is the MEDIAN at the largest k —
+    # never a min over the sweep, which is min-of-noise-biased (round-4
+    # VERDICT weak #3).
+    reps = 3 if args.quick else 7
     ks = (4, 16) if args.quick else (2, 4, 8, 16, 32)
-    curves = {kind: {k: _test_rate(kind, n_iter=n_iter, k=k) for k in ks}
+    curves = {kind: {k: _test_rate(kind, n_iter=n_iter, k=k, reps=reps)
+                     for k in ks}
               for kind in ("production", "nomul", "swar")}
     # production/nomul: 1 queen per eval; swar packs 2 queens per eval
     per_queen = {"production": 1, "nomul": 1, "swar": 2}
+    out["reps_per_ilp_point"] = reps
     for kind, curve in curves.items():
+        per_q = {k: [v / per_queen[kind] for v in vals]
+                 for k, vals in curve.items()}
         out[f"{kind}_ns_per_queen_vreg_by_ilp"] = {
-            str(k): round(v / per_queen[kind], 3) for k, v in curve.items()}
-        out[f"{kind}_test_ns_per_queen_vreg"] = round(
-            min(curve.values()) / per_queen[kind], 3)
+            str(k): {"min": round(min(vals), 3),
+                     "median": round(float(np.median(vals)), 3),
+                     "max": round(max(vals), 3)}
+            for k, vals in per_q.items()}
+        medians = {k: float(np.median(vals)) for k, vals in per_q.items()}
+        out[f"{kind}_test_ns_per_queen_vreg"] = round(medians[max(ks)], 3)
+        # saturation check: medians should be non-increasing in k (within
+        # the observed per-point spread); report violations, don't hide them
+        ks_sorted = sorted(medians)
+        viol = [f"k={a}->k={b}: {medians[a]:.2f} -> {medians[b]:.2f}"
+                for a, b in zip(ks_sorted, ks_sorted[1:])
+                if medians[b] > medians[a] * 1.05
+                and medians[b] > min(per_q[a]) * 1.05]
+        out[f"{kind}_ilp_monotonic"] = not viol
+        if viol:
+            out[f"{kind}_ilp_monotonicity_violations"] = viol
     prod_ns = out["production_test_ns_per_queen_vreg"]
     out["swar_vs_production"] = round(
         out["swar_test_ns_per_queen_vreg"] / prod_ns, 3)
@@ -331,7 +354,8 @@ def main(argv=None) -> int:
                             "probe_full3d_cap.json")
     if os.path.exists(cap_path):
         with open(cap_path) as f:
-            fitted = json.load(f)["fit"]["b_us_per_queen"]
+            fit = json.load(f)["fit"]
+        fitted = fit["b_us_per_queen"]
         out["fitted_b_us_per_queen"] = fitted
         out["harness_replay_over_fitted"] = round(pred_b_us / fitted, 3)
         implied = fitted * 1e3 / ops_per_queen_step
@@ -341,6 +365,13 @@ def main(argv=None) -> int:
         bound = 1 / (4 * 0.94)
         out["vpu_issue_bound_ns_per_vreg_op"] = round(bound, 4)
         out["sweep_fraction_of_issue_bound"] = round(bound / implied, 3)
+        band = fit.get("b_us_per_queen_band")
+        if band:
+            # propagate the cap probe's repeat-spread band through the
+            # same algebra (fraction is monotone-decreasing in b)
+            fracs = [bound / (b * 1e3 / ops_per_queen_step) for b in band]
+            out["sweep_fraction_of_issue_bound_band"] = [
+                round(min(fracs), 3), round(max(fracs), 3)]
 
     d_us, o_us = mxu_onehot_rate(Q=64 if args.quick else 256,
                                  C=2048, L=32)
