@@ -460,9 +460,10 @@ def _wire_floors(tmp_path, monkeypatch, energies):
     monkeypatch.setattr(camp, "_outdir", lambda mcmc_type: str(tmp_path))
     calls = []
 
-    def fake_search(n, seed, b0, b1, mcmc_type, outdir, resume_from=None):
+    def fake_search(n, seed, b0, b1, mcmc_type, outdir, resume_from=None,
+                    n_steps=None, ladder=None):
         e = energies[len(calls)]
-        calls.append((seed, b0, b1, resume_from, mcmc_type))
+        calls.append((seed, b0, b1, resume_from, mcmc_type, n_steps, ladder))
         path = os.path.join(str(tmp_path), "competition_results",
                             f"best_heights_{n}_{len(calls):04d}.txt")
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -523,6 +524,37 @@ def test_floors_campaign_board_refine_from(tmp_path, monkeypatch):
     # the second from the improved refine0 export; all run board mode
     assert calls[0][3] == prior and calls[0][4] == "board"
     assert calls[1][3].endswith("0001.txt") and calls[1][4] == "board"
+
+
+def test_floors_campaign_long_schedule_banks_separately(tmp_path, monkeypatch):
+    # The 4x-budget longer-schedule test (--kind-prefix long --n-steps 32M)
+    # must NOT be skipped by banked default-protocol refinements, must
+    # forward its budget to the search, and must record it in the log.
+    camp, calls = _wire_floors(tmp_path, monkeypatch, [29, 29])
+    prior = os.path.join(str(tmp_path), "committed_18.txt")
+    with open(prior, "w") as f:
+        f.write("0,0,0\n")
+    import tools.verify_board as vb
+    monkeypatch.setattr(vb, "verify", lambda p: {
+        "distinct_cells": True, "oracle_energy": 30})
+    camp.main(["--sizes", "18", "--mcmc-type", "board",
+               "--refine-from", prior])
+    # default protocol: refine0 improves to 29, refine1 stalls
+    assert [c[0] for c in calls] == [777, 778]
+    camp2, calls2 = _wire_floors(tmp_path, monkeypatch, [28, 28])
+    monkeypatch.setattr(vb, "verify", lambda p: {
+        "distinct_cells": True, "oracle_energy": 30})
+    camp2.main(["--sizes", "18", "--mcmc-type", "board",
+                "--refine-from", prior, "--kind-prefix", "long",
+                "--n-steps", "32000000", "--max-refines", "2"])
+    # ran despite banked refine0; budget forwarded; improvement then stall
+    assert [(c[0], c[5]) for c in calls2] == [(777, 32000000),
+                                              (778, 32000000)]
+    log = json.load(open(os.path.join(str(tmp_path), "campaign.json")))
+    kinds = [s["kind"] for s in log["N18"]["searches"]]
+    assert kinds == ["prior", "refine0", "refine1", "long0", "long1"]
+    assert log["N18"]["searches"][3]["n_steps"] == 32000000
+    assert log["N18"]["floor"] == 28
 
 
 def test_floors_campaign_refine_from_held_floor(tmp_path, monkeypatch):

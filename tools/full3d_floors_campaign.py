@@ -50,15 +50,16 @@ def _newest_export(outdir):
     return max(paths, key=os.path.getmtime) if paths else None
 
 
-def _search(n, seed, beta_start, beta_end, mcmc_type, outdir, resume_from=None):
+def _search(n, seed, beta_start, beta_end, mcmc_type, outdir, resume_from=None,
+            n_steps=N_STEPS, ladder=LADDER):
     """One tempered search via the competition CLI; returns (energy, path)."""
     from mcqueens.cli import competition
     from tools.verify_board import verify
 
     argv = [
         "--n", str(n), "--mcmc-type", mcmc_type,
-        "--n-runs", str(CHAINS), "--n-steps", str(N_STEPS),
-        "--kernel", "pallas_shared", "--tempering", str(LADDER),
+        "--n-runs", str(CHAINS), "--n-steps", str(n_steps),
+        "--kernel", "pallas_shared", "--tempering", str(ladder),
         "--history-stride", str(STRIDE),
         "--beta-start", str(beta_start), "--beta-end", str(beta_end),
         "--seed", str(seed), "--outdir", outdir,
@@ -84,6 +85,15 @@ def main(argv=None) -> int:
     ap.add_argument("--refine-from", default=None, metavar="BOARD_TXT",
                     help="skip fresh/confirm; run only colder warm-started "
                          "refinements from this committed board (one size)")
+    ap.add_argument("--n-steps", type=int, default=N_STEPS,
+                    help="steps per search (default the floor protocol's "
+                         "8M; the longer-schedule test uses 32M)")
+    ap.add_argument("--ladder", type=int, default=LADDER,
+                    help="tempering ladder levels (default 16)")
+    ap.add_argument("--kind-prefix", default="refine",
+                    help="label prefix for refinement records, so protocol "
+                         "variants (e.g. 'long' = 4x-budget schedules) bank "
+                         "separately and never skip each other's runs")
     args = ap.parse_args(argv)
     if args.refine_from and len(args.sizes) != 1:
         ap.error("--refine-from requires exactly one --sizes value")
@@ -110,13 +120,19 @@ def main(argv=None) -> int:
             if kind in done:
                 return
             e, path, wall = _search(n, seed, b0, b1, args.mcmc_type, outdir,
-                                    resume)
-            rec["searches"].append({
+                                    resume, n_steps=args.n_steps,
+                                    ladder=args.ladder)
+            entry = {
                 "kind": kind, "seed": seed, "beta": [b0, b1],
                 "energy": e, "board": os.path.basename(path),
                 "wall_s": wall,
                 "warm_from": os.path.basename(resume) if resume else None,
-            })
+            }
+            if args.n_steps != N_STEPS:
+                entry["n_steps"] = args.n_steps
+            if args.ladder != LADDER:
+                entry["ladder"] = args.ladder
+            rec["searches"].append(entry)
             print(json.dumps(rec["searches"][-1]), flush=True)
             flush()
 
@@ -148,7 +164,7 @@ def main(argv=None) -> int:
 
         for i in range(args.max_refines):
             e_before, board = best()
-            run(f"refine{i}", 777 + i, 2.0, 10.0, resume=board)
+            run(f"{args.kind_prefix}{i}", 777 + i, 2.0, 10.0, resume=board)
             e_after, _ = best()
             if e_after >= e_before:
                 break  # the floor stopped moving
