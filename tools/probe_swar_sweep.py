@@ -138,11 +138,14 @@ def _sweep_time(kind: str, Q: int, C: int = 2048, n_chunks: int = 512,
     assert QS % 8 == 0
 
     def hash32(x):
-        # lowbias32 (kernels/prng.py) inlined so the harness is standalone
+        # lowbias32 (kernels/prng.py) inlined so the harness is standalone;
+        # the >2^31 multiplier must wrap through uint32 to be an int32 const
+        m1 = jnp.int32(np.int32(np.uint32(0x7FEB352D)))
+        m2 = jnp.int32(np.int32(np.uint32(0x846CA68B)))
         x = x ^ (x >> 16)
-        x = x * jnp.int32(0x7FEB352D)
+        x = x * m1
         x = x ^ ((x >> 15) & jnp.int32(0x1FFFF))
-        x = x * jnp.int32(0x846CA68B)
+        x = x * m2
         return x ^ ((x >> 16) & jnp.int32(0xFFFF))
 
     def prod_scores(di, dj, dk):
