@@ -49,6 +49,10 @@ def main(argv=None) -> int:
                              "block — ideal for best-board search)")
     parser.add_argument("--history-stride", type=int, default=None,
                         help="default: full history for <=64 runs, thinned above")
+    parser.add_argument("--n-bins", type=int, default=None,
+                        help="acceptance-rate bins (reference granularity "
+                             "100; default auto-shrinks so n_steps * n_bins "
+                             "fits int32, letting >21M-step schedules run)")
     parser.add_argument("--tempering", type=int, default=0, metavar="L",
                         help="parallel tempering with an L-level geometric "
                              "beta ladder spanning [beta-start, beta-end] "
@@ -95,6 +99,12 @@ def main(argv=None) -> int:
             stride = max(1, args.n_steps // 1024)
         else:
             stride = 1 if args.n_runs <= 64 else max(1, args.n_steps // 1024)
+    # Bin indices are exact int32 on device (spec.py:94); keep the
+    # reference's 100-bin granularity whenever it fits and shrink only on
+    # >21M-step schedules instead of refusing to run them.
+    n_bins = args.n_bins
+    if n_bins is None:
+        n_bins = max(1, min(100, (2 ** 31 - 1) // max(args.n_steps, 1)))
 
     checkpointer = None
     if args.checkpoint_dir:
@@ -144,6 +154,7 @@ def main(argv=None) -> int:
                                     beta_const=1.0),
             init_mode=args.init_mode, mcmc_type=args.mcmc_type,
             history_stride=stride, kernel=args.kernel, Q=args.q,
+            n_bins=n_bins,
         )
         ladder = tempering_mod.geometric_ladder(
             args.beta_start, args.beta_end, args.tempering)
@@ -182,6 +193,7 @@ def main(argv=None) -> int:
             init_mode=args.init_mode, mcmc_type=args.mcmc_type,
             early_stop_patience=args.early_stop_patience,
             history_stride=stride, kernel=args.kernel, Q=args.q,
+            n_bins=n_bins,
         )
         res = runner.run_chains(
             args.seed + np.arange(args.n_runs, dtype=np.uint32), spec,
@@ -195,7 +207,7 @@ def main(argv=None) -> int:
             mcmc_type=args.mcmc_type,
             early_stop_patience=args.early_stop_patience,
             verbose=True, mesh=mesh, history_stride=stride, kernel=args.kernel,
-            checkpointer=checkpointer, Q=args.q,
+            n_bins=n_bins, checkpointer=checkpointer, Q=args.q,
         )
 
     order = np.argsort(res.best_energy, kind="stable")

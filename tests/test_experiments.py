@@ -191,6 +191,31 @@ def test_competition_cli(tmp_path):
     assert 0 <= int(k) < 5
 
 
+def test_competition_cli_long_schedule_bins(tmp_path):
+    """>21M-step schedules must run: the CLI auto-shrinks n_bins so
+    n_steps * n_bins stays int32-exact (round 5: the 32M-step floors
+    pass died on the ChainSpec guard), and --n-bins stays overridable."""
+    from mcqueens.chain.spec import ChainSpec
+    from mcqueens.cli import competition
+    from mcqueens.core.schedules import build_schedule
+
+    import pytest
+
+    sched = build_schedule("constant", 32_000_000, beta_const=1.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        ChainSpec(N=6, n_steps=32_000_000, schedule=sched)
+    auto = max(1, min(100, (2 ** 31 - 1) // 32_000_000))
+    spec = ChainSpec(N=6, n_steps=32_000_000, schedule=sched, n_bins=auto)
+    assert spec.n_bins == 67
+
+    rc = competition.main([
+        "--n", "5", "--n-runs", "2", "--n-steps", "300", "--n-bins", "6",
+        "--outdir", str(tmp_path),
+    ])
+    assert rc == 0
+    assert list((tmp_path / "competition_results").glob("best_heights_5_*"))
+
+
 def test_competition_cli_subfull_q(tmp_path):
     """--q searches for non-attacking placements below N^2 queens.
 
